@@ -1,0 +1,282 @@
+"""The likelihood engine: batched, jitted likelihoods and gradients.
+
+This is the TPU-native replacement for the reference's Engine + FatBeagle
+stack (engine.cpp, fat_beagle.cpp): where the reference fans N BEAGLE
+instances over M trees with a thread pool (fat_beagle.hpp:119-149), here the
+whole tree collection is ONE vmapped, jitted XLA program; schedules are
+traced index arrays, so every topology with the same (taxa, rootedness)
+shape reuses one compilation.
+
+Gradient conventions (PhyloGradient parity, tree_gradient.hpp):
+  * "branch_lengths": d LL / d b_e over non-root node ids 0..root_id-1. For
+    unrooted trees this is the trifurcating layout with 2n-3 real edges; the
+    reference's detrifurcated vector additionally carries two structural
+    zeros (root + fixed child, fat_beagle.cpp:498-499).
+  * "substitution_model": gradient in stick-breaking-unconstrained space,
+    rates block then frequencies block (fat_beagle.cpp:440-466) — computed
+    here by AD, not finite differences.
+  * "site_model": d LL / d Weibull shape (exact, via AD of the discretized
+    rates).
+  * "ratios_root_height": d (LL + log|Jacobian|) / d (height ratios, root
+    height) (rooted_gradient_transforms.cpp) — AD through the height scan.
+  * "clock_model": d LL / d clock rate(s).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import heights as heights_ops
+from ..ops import pruning, transforms
+from ..ops.schedule import BatchedSchedule
+from .phylo_model import PhyloModelSpec, model_tensors
+
+
+class LikelihoodEngine:
+    """Likelihoods/gradients for collections of trees over one alignment."""
+
+    def __init__(
+        self,
+        site_pattern,
+        spec: PhyloModelSpec,
+        rescale: bool = True,
+        dtype=jnp.float64,
+    ):
+        self.spec = spec
+        self.rescale = rescale
+        self.dtype = dtype
+        self.tips = jnp.asarray(site_pattern.tip_partials(), dtype=dtype)
+        self.weights = jnp.asarray(site_pattern.weights, dtype=dtype)
+        self._jit_cache: Dict = {}
+
+    # -- shared pieces ------------------------------------------------------
+    def _tree_ll(self, sched5, root_id, bl_padded, params):
+        """LL of one tree from padded branch lengths (N+1,)."""
+        freqs, evec, ivec, evals, rates, props, _ = model_tensors(self.spec, params)
+        P = pruning.node_transition_matrices(evec, ivec, evals, bl_padded, rates)
+        return pruning._log_likelihood(
+            self.rescale, root_id, sched5, P, self.tips, freqs,
+            props.astype(self.dtype), self.weights,
+        )
+
+    @staticmethod
+    def _pad(bl):
+        """Append the ones-slot zero branch length along the last axis."""
+        pad = [(0, 0)] * (bl.ndim - 1) + [(0, 1)]
+        return jnp.pad(bl, pad)
+
+    def _cached(self, key, builder):
+        if key not in self._jit_cache:
+            self._jit_cache[key] = builder()
+        return self._jit_cache[key]
+
+    def _sched5_b(self, sched: BatchedSchedule):
+        return (
+            jnp.asarray(sched.post_node),
+            jnp.asarray(sched.post_children),
+            jnp.asarray(sched.up_node),
+            jnp.asarray(sched.up_parent),
+            jnp.asarray(sched.up_sibs),
+        )
+
+    # -- unrooted/plain likelihoods ----------------------------------------
+    def log_likelihoods(self, sched: BatchedSchedule, branch_lengths, params):
+        """(B,) log likelihoods; branch_lengths: (B, N)."""
+        root_id = sched.root_id
+
+        def build():
+            def one(sched5, bl, params):
+                return self._tree_ll(sched5, root_id, self._pad(bl), params)
+
+            return jax.jit(jax.vmap(one, in_axes=((0, 0, 0, 0, 0), 0, None)))
+
+        fn = self._cached(("ll", root_id), build)
+        return fn(
+            self._sched5_b(sched), jnp.asarray(branch_lengths, self.dtype), params
+        )
+
+    def branch_gradients(self, sched: BatchedSchedule, branch_lengths, params):
+        """(lls (B,), grads (B, N-1)) — the linear-time two-pass scheme."""
+        root_id = sched.root_id
+
+        def build():
+            def one(sched5, bl, params):
+                freqs, evec, ivec, evals, rates, props, Q = model_tensors(
+                    self.spec, params
+                )
+                P = pruning.node_transition_matrices(
+                    evec, ivec, evals, self._pad(bl), rates
+                )
+                Qs = Q[None] * rates[:, None, None]
+
+                class _S:
+                    pass
+
+                s = _S()
+                s.root_id = root_id
+                s.post_node, s.post_children, s.up_node, s.up_parent, s.up_sibs = (
+                    sched5
+                )
+                return pruning.log_likelihood_and_branch_gradient(
+                    s, P, Qs, self.tips, freqs, props.astype(self.dtype),
+                    self.weights, self.rescale,
+                )
+
+            return jax.jit(jax.vmap(one, in_axes=((0, 0, 0, 0, 0), 0, None)))
+
+        fn = self._cached(("bgrad", root_id), build)
+        return fn(
+            self._sched5_b(sched), jnp.asarray(branch_lengths, self.dtype), params
+        )
+
+    def phylo_gradients(self, sched: BatchedSchedule, branch_lengths, params):
+        """Gradient dict in reference conventions (unrooted trees)."""
+        lls, bgrads = self.branch_gradients(sched, branch_lengths, params)
+        out = {"log_likelihood": lls, "branch_lengths": bgrads}
+        extra = self._model_param_gradients(
+            lambda p: self._batched_ll_sum(sched, branch_lengths, p), params
+        )
+        out.update(extra)
+        return out
+
+    def _batched_ll_sum(self, sched, branch_lengths, params):
+        # Sum over the batch: per-tree model-parameter gradients come from
+        # vmapped per-tree calls instead when needed; the reference computes
+        # per-tree gradients, so we vmap.
+        return self.log_likelihoods(sched, branch_lengths, params)
+
+    def _model_param_gradients(self, ll_fn, params):
+        """Per-tree substitution/site gradients by AD (stick space for GTR)."""
+        out = {}
+        if self.spec.substitution == "GTR":
+            p = params["substitution"]
+            y_rates = transforms.stick_breaking_inverse(p["rates"])
+            y_freqs = transforms.stick_breaking_inverse(p["frequencies"])
+
+            def f(y):
+                yr, yf = y[:5], y[5:]
+                new = dict(params)
+                new["substitution"] = {
+                    "rates": transforms.stick_breaking(yr),
+                    "frequencies": transforms.stick_breaking(yf),
+                }
+                return ll_fn(new)
+
+            jacobian = jax.jacrev(f)(jnp.concatenate([y_rates, y_freqs]))
+            out["substitution_model"] = jacobian
+        if self.spec.site.startswith("weibull"):
+
+            def g(shape):
+                new = dict(params)
+                new["site"] = {"shape": shape}
+                return ll_fn(new)
+
+            out["site_model"] = jax.jacrev(g)(params["site"]["shape"])
+        return out
+
+    # -- rooted time-tree likelihoods --------------------------------------
+    def rooted_log_likelihoods(
+        self, sched: BatchedSchedule, bounds, ratios, rates, params,
+        return_parts: bool = False,
+    ):
+        """LL + log-det-Jacobian for rooted time trees (fat_beagle.cpp:96-104).
+
+        bounds: (B, N) node bounds; ratios: (B, L-1) height ratios with root
+        height last; rates: (B, N-1) per-branch clock rates."""
+        leaf_count = sched.leaf_count
+        root_id = sched.root_id
+
+        def build():
+            def one(sched5, pre_node, pre_parent, parent, bounds, ratios, rates, params):
+                h = heights_ops.node_heights_from_ratios(
+                    ratios, bounds, leaf_count, pre_node, pre_parent
+                )
+                bl = heights_ops.branch_lengths_from_heights(h, parent)
+                ll = self._tree_ll(sched5, root_id, self._pad(bl * rates), params)
+                ldj = heights_ops.log_det_jacobian(h, bounds, parent, leaf_count)
+                return ll, ldj
+
+            return jax.jit(
+                jax.vmap(one, in_axes=((0, 0, 0, 0, 0), 0, 0, 0, 0, 0, 0, None))
+            )
+
+        fn = self._cached(("rooted_ll", root_id), build)
+        lls, ldjs = fn(
+            self._sched5_b(sched),
+            jnp.asarray(sched.pre_internal_node),
+            jnp.asarray(sched.pre_internal_parent),
+            jnp.asarray(sched.parent),
+            jnp.asarray(bounds, self.dtype),
+            jnp.asarray(ratios, self.dtype),
+            jnp.asarray(rates, self.dtype),
+            params,
+        )
+        if return_parts:
+            return lls, ldjs
+        return lls + ldjs
+
+    def rooted_phylo_gradients(
+        self, sched: BatchedSchedule, bounds, ratios, rates, params,
+        strict_clock: bool = True,
+    ):
+        """Gradient dict for rooted time trees, all via AD."""
+        leaf_count = sched.leaf_count
+        root_id = sched.root_id
+
+        def build():
+            def one(sched5, pre_node, pre_parent, parent, bounds, ratios, rates, params):
+                def objective(ratios_, rates_, params_):
+                    h = heights_ops.node_heights_from_ratios(
+                        ratios_, bounds, leaf_count, pre_node, pre_parent
+                    )
+                    bl = heights_ops.branch_lengths_from_heights(h, parent)
+                    ll = self._tree_ll(
+                        sched5, root_id, self._pad(bl * rates_), params_
+                    )
+                    ldj = heights_ops.log_det_jacobian(
+                        h, bounds, parent, leaf_count
+                    )
+                    return ll + ldj, ll
+
+                (obj, ll), (dratios, drates) = jax.value_and_grad(
+                    objective, argnums=(0, 1), has_aux=True
+                )(ratios, rates, params)
+                # Clock gradient excludes the Jacobian term (it does not
+                # depend on the rates), and equals AD of ll wrt rates since
+                # d ldj/d rates = 0.
+                return obj, ll, dratios, drates
+
+            return jax.jit(
+                jax.vmap(one, in_axes=((0, 0, 0, 0, 0), 0, 0, 0, 0, 0, 0, None))
+            )
+
+        fn = self._cached(("rooted_grad", root_id), build)
+        obj, lls, dratios, drates = fn(
+            self._sched5_b(sched),
+            jnp.asarray(sched.pre_internal_node),
+            jnp.asarray(sched.pre_internal_parent),
+            jnp.asarray(sched.parent),
+            jnp.asarray(bounds, self.dtype),
+            jnp.asarray(ratios, self.dtype),
+            jnp.asarray(rates, self.dtype),
+            params,
+        )
+        out = {
+            "log_likelihood": obj,
+            "ratios_root_height": dratios,
+            "clock_model": jnp.sum(drates, axis=-1, keepdims=True)
+            if strict_clock
+            else drates,
+        }
+        extra = self._model_param_gradients(
+            lambda p: self.rooted_log_likelihoods(
+                sched, bounds, ratios, rates, p
+            ),
+            params,
+        )
+        out.update(extra)
+        return out

@@ -1,0 +1,102 @@
+"""Substitution models: JC69 and GTR, as JAX-differentiable functions.
+
+Reference semantics: /root/reference/src/substitution_model.{hpp,cpp}.
+
+A substitution model provides (frequencies, eigenvectors V, inverse
+eigenvectors V^-1, eigenvalues) of the rate matrix Q, normalized to unit
+expected substitution rate. Transition matrices are P(t) = V e^{Λt} V^{-1}.
+
+GTR eigendecomposition follows Felsenstein p.206: symmetrize with
+diag(sqrt(pi)); eigh is differentiable in JAX, so GTR gradients flow by AD —
+replacing the reference's central-finite-difference scheme
+(fat_beagle.cpp:400-465) with exact derivatives.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def jc69_eigen(dtype=jnp.float64):
+    """Hardcoded JC69 eigendecomposition (substitution_model.hpp:59-74)."""
+    freqs = jnp.full((4,), 0.25, dtype=dtype)
+    evec = jnp.array(
+        [
+            [1.0, 2.0, 0.0, 0.5],
+            [1.0, -2.0, 0.5, 0.0],
+            [1.0, 2.0, 0.0, -0.5],
+            [1.0, -2.0, -0.5, 0.0],
+        ],
+        dtype=dtype,
+    )
+    ivec = jnp.array(
+        [
+            [0.25, 0.25, 0.25, 0.25],
+            [0.125, -0.125, 0.125, -0.125],
+            [0.0, 1.0, 0.0, -1.0],
+            [1.0, 0.0, -1.0, 0.0],
+        ],
+        dtype=dtype,
+    )
+    evals = jnp.array([0.0, -4.0 / 3.0, -4.0 / 3.0, -4.0 / 3.0], dtype=dtype)
+    return freqs, evec, ivec, evals
+
+
+def jc69_q(dtype=jnp.float64):
+    q = jnp.full((4, 4), 1.0 / 3.0, dtype=dtype)
+    return q - jnp.eye(4, dtype=dtype) * (4.0 / 3.0)
+
+
+def gtr_q(rates, freqs):
+    """Build the unit-rate GTR rate matrix (substitution_model.cpp
+    UpdateQMatrix). rates: 6 upper-triangle exchangeabilities (AC, AG, AT,
+    CG, CT, GT); freqs: stationary frequencies."""
+    rates = jnp.asarray(rates)
+    freqs = jnp.asarray(freqs)
+    iu = jnp.triu_indices(4, k=1)
+    S = jnp.zeros((4, 4), dtype=rates.dtype)
+    S = S.at[iu].set(rates)
+    S = S + S.T
+    Q = S * freqs[None, :]
+    rowsum = jnp.sum(Q, axis=1)
+    Q = Q - jnp.diag(rowsum)
+    total_rate = jnp.sum(rowsum * freqs)
+    return Q / total_rate
+
+
+def gtr_eigen(rates, freqs):
+    """Differentiable GTR eigendecomposition via the symmetrized matrix.
+
+    Returns (freqs, eigenvectors, inverse eigenvectors, eigenvalues) matching
+    the reference's convention (substitution_model.cpp Update)."""
+    freqs = jnp.asarray(freqs)
+    Q = gtr_q(rates, freqs)
+    sqrt_f = jnp.sqrt(freqs)
+    S = sqrt_f[:, None] * Q / sqrt_f[None, :]
+    # Symmetrize explicitly to keep eigh stable under roundoff.
+    S = 0.5 * (S + S.T)
+    evals, U = jnp.linalg.eigh(S)
+    evec = U / sqrt_f[:, None]
+    ivec = U.T * sqrt_f[None, :]
+    return freqs, evec, ivec, evals
+
+
+def transition_matrices(evec, ivec, evals, edge_lengths):
+    """P(t) = V diag(e^{Λ t}) V^{-1} batched over edge_lengths.
+
+    edge_lengths: (...,) array of (rate-scaled) branch lengths.
+    Returns (..., 4, 4). This is the matrix-exponential kernel used by
+    every likelihood engine in the framework (replaces BEAGLE's
+    beagleUpdateTransitionMatrices and the GP engine's per-op 4x4 exps)."""
+    t = jnp.asarray(edge_lengths)
+    expo = jnp.exp(t[..., None] * evals)  # (..., 4)
+    return jnp.einsum("ij,...j,jk->...ik", evec, expo, ivec)
+
+
+def q_from_eigen(evec, ivec, evals):
+    return jnp.einsum("ij,j,jk->ik", evec, evals, ivec)
+
+
+DEFAULT_GTR_RATES = np.full(6, 1.0 / 6.0)
+DEFAULT_FREQS = np.full(4, 0.25)

@@ -265,8 +265,11 @@ class LikelihoodEngine:
             jnp.asarray(rates, self.dtype),
             params,
         )
+        # Reference convention: the gradient result reports the pruning LL
+        # WITHOUT the Jacobian (rooted_sbn_instance.hpp gradient tests),
+        # while LogLikelihoods() reports LL + log|J|.
         out = {
-            "log_likelihood": obj,
+            "log_likelihood": lls,
             "ratios_root_height": dratios,
             "clock_model": jnp.sum(drates, axis=-1, keepdims=True)
             if strict_clock

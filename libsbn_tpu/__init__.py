@@ -22,4 +22,6 @@ _jax_config.update("jax_enable_x64", True)
 
 __version__ = "0.1.0"
 
-__all__ = ["__version__"]
+from .instance import RootedInstance, UnrootedInstance  # noqa: E402
+
+__all__ = ["RootedInstance", "UnrootedInstance", "__version__"]

@@ -1,0 +1,96 @@
+"""Rooted SBN instance (reference: rooted_sbn_instance.{hpp,cpp})."""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from ..core.tree import RootedTree, RootedTreeCollection
+from ..sbn.support import RootedSBNSupport
+from .generic import GenericSBNInstance
+
+
+class RootedInstance(GenericSBNInstance):
+    support_class = RootedSBNSupport
+    collection_class = RootedTreeCollection
+    rooted = True
+
+    # -- tip dates -----------------------------------------------------------
+    def set_dates_to_be_constant(self, initialize_time_trees: bool):
+        self.tree_collection.set_dates_to_be_constant(initialize_time_trees)
+
+    def parse_dates_from_taxon_names(self, initialize_time_trees: bool):
+        self.tree_collection.parse_dates_from_taxon_names(initialize_time_trees)
+
+    def parse_dates_from_csv(self, path: str, initialize_time_trees: bool):
+        self.tree_collection.parse_dates_from_csv(path, initialize_time_trees)
+
+    # -- sampling ------------------------------------------------------------
+    def sample_trees(self, count: int):
+        self._check_support()
+        taxon_count = self.sbn_support.taxon_count()
+        node_count = 2 * taxon_count - 1
+        trees = []
+        for _ in range(count):
+            top = self.sample_topology()
+            trees.append(RootedTree(top, np.zeros(node_count)))
+        self.tree_collection = RootedTreeCollection(
+            trees, self.tree_collection.tag_taxon_map,
+            self.tree_collection.tag_date_map,
+        )
+
+    # -- time-tree state matrices -------------------------------------------
+    def _time_tree_arrays(self):
+        trees = self.tree_collection.trees
+        bounds = np.stack([t.node_bounds for t in trees])
+        ratios = np.stack([t.height_ratios for t in trees])
+        rates = np.stack([t.rates[: t.node_count() - 1] for t in trees])
+        return bounds, ratios, rates
+
+    def set_clock_rates(self, rate: float):
+        """Assign a constant per-branch clock rate to every tree."""
+        for t in self.tree_collection.trees:
+            t.rates = np.full(t.node_count() - 1, rate)
+            t.rate_count = 1
+
+    # -- likelihoods ---------------------------------------------------------
+    def log_likelihoods(self) -> np.ndarray:
+        """LL + log-det-Jacobian of the height transform
+        (fat_beagle.cpp LogLikelihood(RootedTree))."""
+        engine = self._get_engine()
+        sched = self._batched_schedule()
+        bounds, ratios, rates = self._time_tree_arrays()
+        return np.asarray(
+            engine.rooted_log_likelihoods(
+                sched, bounds, ratios, rates, self.phylo_model_params
+            )
+        )
+
+    def phylo_gradients(self):
+        engine = self._get_engine()
+        sched = self._batched_schedule()
+        bounds, ratios, rates = self._time_tree_arrays()
+        strict = all(t.rate_count == 1 for t in self.tree_collection.trees)
+        return engine.rooted_phylo_gradients(
+            sched, bounds, ratios, rates, self.phylo_model_params,
+            strict_clock=strict,
+        )
+
+    def unconditional_subsplit_probabilities(self):
+        """Via a temporary subsplit DAG (rooted_sbn_instance.cpp:19-40)."""
+        from ..gp.subsplit_dag import SubsplitDAG
+
+        dag = SubsplitDAG.of_tree_collection(self.tree_collection)
+        seg = self.sbn_support.segment_ids()
+        num_segments = int(seg.max(initial=0)) + 1
+        from ..sbn import probability as sbn_probability
+
+        normalized = np.asarray(
+            sbn_probability.probability_normalize_in_log(
+                np.asarray(self.sbn_parameters), seg, num_segments
+            )
+        )
+        return dag.unconditional_subsplit_probabilities_from_sbn(
+            self.sbn_support, normalized
+        )

@@ -1,0 +1,3 @@
+from .burrito import Burrito
+
+__all__ = ["Burrito"]

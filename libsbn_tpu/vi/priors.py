@@ -1,0 +1,18 @@
+"""Branch length priors (reference: vip/priors.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def log_exp_prior(px_theta_sample, rate: float = 10.0):
+    """Log Exponential(rate) density summed over branches; (P, B) -> (P,)."""
+    px_theta_sample = np.asarray(px_theta_sample)
+    assert px_theta_sample.ndim == 2
+    return np.log(rate) * px_theta_sample.shape[1] - rate * np.sum(
+        px_theta_sample, axis=1
+    )
+
+
+def grad_log_exp_prior(px_theta_sample, rate: float = 10.0):
+    return -rate

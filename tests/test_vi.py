@@ -1,0 +1,129 @@
+"""VBPI training loop tests (reference: vip/test/test_burrito.py,
+test_scalar_models.py, test_priors.py)."""
+
+import numpy as np
+import pytest
+
+from libsbn_tpu.models.phylo_model import PhyloModelSpec
+from libsbn_tpu.vi import priors, scalar_models
+from libsbn_tpu.vi.burrito import Burrito
+
+DATA = "/root/reference/data"
+
+
+def test_log_exp_prior():
+    sample = np.array([[1.0, 2.0, 3.0], [0.26097, 0.0286401, 0.113843]])
+    # Sum of Exponential(10) log densities: log(10)*n - 10*sum.
+    expected = np.log(10.0) * 3 - 10.0 * sample.sum(axis=1)
+    np.testing.assert_allclose(priors.log_exp_prior(sample), expected)
+
+
+def test_lognormal_log_prob_closed_form():
+    params = np.array([[0.4, 1.3], [-2.0, 4.0], [3.0, 0.2]])
+    sample = np.array([0.3, 3.14159, 0.0001])
+    model = scalar_models.LogNormalModel(3)
+    model.q_params[:, :] = params
+    ours = model.log_prob(sample, which_variables=np.arange(3))
+    # Independent closed form.
+    mu, sigma = params[:, 0], params[:, 1]
+    expected = np.sum(
+        -np.log(sample) - np.log(sigma) - 0.5 * np.log(2 * np.pi)
+        - (np.log(sample) - mu) ** 2 / (2 * sigma**2)
+    )
+    assert ours == pytest.approx(expected)
+
+
+def test_lognormal_gradients_match_ad():
+    """Hand-derived dg/dpsi and dlog_qg/dpsi (eq:dgdPsi, eq:dlogqgdPsi) must
+    equal AD of the reparameterization."""
+    import jax
+    import jax.numpy as jnp
+
+    params = np.array([[0.4, 1.3], [-2.0, 0.7], [3.0, 0.2]])
+    model = scalar_models.LogNormalModel(3)
+    model.q_params[:, :] = params
+    which = np.array([[0, 1, 2]])
+    sample, dg_dpsi, dlog_qg_dpsi = model.sample_and_gradients(which)
+    eps = (np.log(sample[0]) - params[:, 0]) / params[:, 1]
+
+    def g(psi):
+        mu, sigma = psi[:, 0], psi[:, 1]
+        return jnp.exp(mu + sigma * jnp.asarray(eps))
+
+    jac = jax.jacobian(g)(jnp.asarray(params))  # (3, 3, 2)
+    for v in range(3):
+        np.testing.assert_allclose(dg_dpsi[0, v], jac[v, v], rtol=1e-9)
+
+    def log_q_of_psi(psi):
+        mu, sigma = psi[:, 0], psi[:, 1]
+        theta = jnp.exp(mu + sigma * jnp.asarray(eps))
+        return jnp.sum(
+            -jnp.log(theta) - jnp.log(sigma) - 0.5 * jnp.log(2 * jnp.pi)
+            - (jnp.log(theta) - mu) ** 2 / (2 * sigma**2)
+        )
+
+    jq = jax.grad(log_q_of_psi)(jnp.asarray(params))
+    np.testing.assert_allclose(dlog_qg_dpsi[0], jq, rtol=1e-9)
+
+
+@pytest.fixture(scope="module")
+def hello_burrito():
+    return Burrito(
+        mcmc_nexus_path=f"{DATA}/hello_out.t",
+        burn_in_fraction=0,
+        fasta_path=f"{DATA}/hello.fasta",
+        phylo_model_specification=PhyloModelSpec("JC69", "constant", "strict"),
+        branch_model_name="split",
+        scalar_model_name="lognormal",
+        optimizer_name="simple",
+        particle_count=1,
+    )
+
+
+def test_elbo_innards(hello_burrito):
+    """Golden ELBO internals 'From Mathieu' (vip/test/test_burrito.py)."""
+    burro = hello_burrito
+    burro.sample_topologies(1)
+    theta_sample = np.array([0.184472, 0.027993, 0.045583])
+    px_theta_sample = theta_sample[None, :]
+    for tree in burro.inst.tree_collection.trees:
+        tree.branch_lengths[:-1] = theta_sample
+
+    mathieu_q_params = np.array(
+        [[-1.728809, 0.459529], [-2.410943, 0.748569], [-2.410977, 0.748571]]
+    )
+    px_branch_representation = burro.branch_model.px_branch_representation()
+    branch_rep = px_branch_representation[0]
+    burro.branch_model.scalar_model.q_params[branch_rep, :] = mathieu_q_params
+
+    lls = burro.inst.log_likelihoods()
+    assert lls[0] == pytest.approx(-81.446550)
+    assert burro.branch_model.log_prior(px_theta_sample)[0] == pytest.approx(
+        4.327275
+    )
+    assert burro.branch_model.log_prob(
+        px_theta_sample, px_branch_representation
+    ) == pytest.approx(5.330697, rel=1e-5)
+
+
+@pytest.mark.parametrize("branch_model_name", ["split", "psp"])
+def test_gradient_steps_improve_elbo(branch_model_name):
+    """Short VBPI runs should run end-to-end and not diverge."""
+    burro = Burrito(
+        mcmc_nexus_path=f"{DATA}/hello_out.t",
+        burn_in_fraction=0,
+        fasta_path=f"{DATA}/hello.fasta",
+        phylo_model_specification=PhyloModelSpec("JC69", "constant", "strict"),
+        branch_model_name=branch_model_name,
+        scalar_model_name="lognormal",
+        optimizer_name="simple",
+        particle_count=4,
+        seed=1,
+    )
+    start = np.mean([burro.estimate_elbo(20) for _ in range(5)])
+    burro.gradient_steps(30)
+    end = np.mean([burro.estimate_elbo(20) for _ in range(5)])
+    assert np.isfinite(end)
+    assert end > start - 5.0  # not diverging; usually improves
+    ml = burro.marginal_likelihood_estimate(50)
+    assert np.isfinite(ml)

@@ -54,13 +54,21 @@ class LikelihoodEngine:
         self._jit_cache: Dict = {}
 
     # -- shared pieces ------------------------------------------------------
+    def _model_tensors(self, params):
+        """Model tensors cast to the engine dtype (f64 for parity on CPU,
+        f32/bf16 for TPU throughput)."""
+        freqs, evec, ivec, evals, rates, props, Q = model_tensors(self.spec, params)
+        c = lambda x: x.astype(self.dtype)  # noqa: E731
+        return c(freqs), c(evec), c(ivec), c(evals), c(rates), c(props), c(Q)
+
     def _tree_ll(self, sched5, root_id, bl_padded, params):
         """LL of one tree from padded branch lengths (N+1,)."""
-        freqs, evec, ivec, evals, rates, props, _ = model_tensors(self.spec, params)
-        P = pruning.node_transition_matrices(evec, ivec, evals, bl_padded, rates)
+        freqs, evec, ivec, evals, rates, props, _ = self._model_tensors(params)
+        P = pruning.node_transition_matrices(
+            evec, ivec, evals, bl_padded.astype(self.dtype), rates
+        )
         return pruning._log_likelihood(
-            self.rescale, root_id, sched5, P, self.tips, freqs,
-            props.astype(self.dtype), self.weights,
+            self.rescale, root_id, sched5, P, self.tips, freqs, props, self.weights,
         )
 
     @staticmethod
@@ -105,11 +113,11 @@ class LikelihoodEngine:
 
         def build():
             def one(sched5, bl, params):
-                freqs, evec, ivec, evals, rates, props, Q = model_tensors(
-                    self.spec, params
+                freqs, evec, ivec, evals, rates, props, Q = self._model_tensors(
+                    params
                 )
                 P = pruning.node_transition_matrices(
-                    evec, ivec, evals, self._pad(bl), rates
+                    evec, ivec, evals, self._pad(bl).astype(self.dtype), rates
                 )
                 Qs = Q[None] * rates[:, None, None]
 

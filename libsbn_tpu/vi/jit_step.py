@@ -1,0 +1,263 @@
+"""Device-resident VBPI training step: the whole gradient step as ONE jitted
+XLA program, shardable over a device mesh.
+
+This is the production fast path corresponding to Burrito.gradient_step
+(burrito.py:84-117): the host samples topologies (combinatorial) and standard
+normals; everything else — reparameterized branch sampling, batched pruning
+likelihood + linear-time branch gradients, eq:dLdPsi scalar gradients, VIMCO
+topology gradients, and the optax update — runs on device. Under a Mesh, the
+particle axis shards data-parallel ("dp") and XLA inserts the gradient psums
+(SURVEY.md §2.9 TPU-native equivalents).
+
+Currently implements the split-lognormal branch model (the benchmark
+default).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops import pruning
+from ..sbn import gradients as sbn_gradients
+from ..sbn import probability as sbn_probability
+
+PRIOR_RATE = 10.0
+
+
+class VBPIState(NamedTuple):
+    q_params: jnp.ndarray  # (V, 2) lognormal (mu, sigma) per split
+    sbn_params: jnp.ndarray  # (G,)
+    opt_state: optax.OptState
+
+
+class VBPIStatics(NamedTuple):
+    """Static (shape-defining) configuration for one support."""
+
+    root_id: int
+    num_segments: int
+    rescale: bool
+    use_vimco: bool
+
+
+def make_optimizer(scalar_lr=1e-3, sbn_lr=1e-3):
+    return optax.multi_transform(
+        {
+            "q_params": optax.adam(scalar_lr),
+            "sbn_params": optax.adam(sbn_lr),
+        },
+        ("q_params", "sbn_params"),
+    )
+
+
+def init_state(q_params, sbn_params, optimizer) -> VBPIState:
+    q_params = jnp.asarray(q_params)
+    sbn_params = jnp.asarray(sbn_params)
+    opt_state = optimizer.init((q_params, sbn_params))
+    return VBPIState(q_params, sbn_params, opt_state)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("statics", "optimizer"),
+)
+def vbpi_train_step(
+    state: VBPIState,
+    statics: VBPIStatics,
+    optimizer,
+    # Per-step host-sampled inputs:
+    sched5,  # tuple of 5 (P, ...) int32 schedule arrays
+    branch_rep,  # (P, B) int32 split index per branch
+    reps,  # (P, E, R) int32 unrooted indexer representations
+    touched,  # (P, E, Sm) int32 touched segments
+    eps,  # (P, B) standard normals
+    beta,  # annealing scalar
+    # Constant model data:
+    tips,  # (L, 4, patterns)
+    weights,  # (patterns,)
+    segment_ids,  # (G,)
+    evec, ivec, evals, freqs, props, Q,  # substitution model tensors
+):
+    """One full VBPI gradient step. Returns (new_state, metrics)."""
+    q_params, sbn_params, opt_state = state
+    P_count, B = branch_rep.shape
+
+    # 1. Reparameterized branch lengths: theta = exp(mu + sigma * eps).
+    mu = q_params[branch_rep, 0]
+    sigma = q_params[branch_rep, 1]
+    theta = jnp.exp(mu + sigma * eps)  # (P, B)
+
+    # 2. Batched pruning: likelihoods + linear-time branch gradients.
+    bl_padded = jnp.pad(theta, ((0, 0), (0, 2)))  # root + ones slots
+    rates = jnp.ones((1,), theta.dtype)  # constant site model
+    Qs = Q[None]  # (1, 4, 4) differential matrix, category rate 1
+
+    def one(sched5_one, bl):
+        Pm = pruning.node_transition_matrices(evec, ivec, evals, bl, rates)
+
+        class _S:
+            pass
+
+        s = _S()
+        s.root_id = statics.root_id
+        (s.post_node, s.post_children, s.up_node, s.up_parent, s.up_sibs) = sched5_one
+        return pruning.log_likelihood_and_branch_gradient(
+            s, Pm, Qs, tips, freqs, props, weights, statics.rescale
+        )
+
+    lls, bgrads = jax.vmap(one, in_axes=((0, 0, 0, 0, 0), 0))(sched5, bl_padded)
+
+    # 3. Scalar (split-lognormal) gradient, eq:dLdPsi.
+    dlogp = bgrads - PRIOR_RATE  # + d log prior / d theta
+    g0 = dlogp * theta - (-1.0)
+    g1 = dlogp * theta * eps - (-eps - 1.0 / sigma)
+    V = q_params.shape[0]
+    scalar_grad = (
+        jnp.zeros((V, 2), q_params.dtype)
+        .at[branch_rep.reshape(-1), 0]
+        .add(g0.reshape(-1))
+        .at[branch_rep.reshape(-1), 1]
+        .add(g1.reshape(-1))
+    )
+
+    # 4. log f = beta*loglike + log prior - log q_sbn - log q_branch.
+    log_prior = B * jnp.log(PRIOR_RATE) - PRIOR_RATE * jnp.sum(theta, axis=1)
+    normalized = sbn_probability.probability_normalize_in_log(
+        sbn_params, segment_ids, statics.num_segments
+    )
+    ext = sbn_probability.with_sentinel(normalized)
+    log_rho = jnp.sum(ext[reps], axis=-1)  # (P, E)
+    log_q_sbn = jax.scipy.special.logsumexp(log_rho, axis=-1)
+    log_q_branch = jnp.sum(
+        -jnp.log(theta) - jnp.log(sigma) - 0.5 * jnp.log(2.0 * jnp.pi)
+        - (jnp.log(theta) - mu) ** 2 / (2.0 * sigma**2),
+        axis=1,
+    )
+    log_f = beta * lls + log_prior - log_q_sbn - log_q_branch
+
+    # 5. VIMCO topology gradient.
+    sbn_grad = sbn_gradients.topology_gradients(
+        sbn_params, segment_ids, statics.num_segments, reps, touched, log_f,
+        use_vimco=statics.use_vimco,
+    )
+
+    # 6. Ascent step (optax minimizes, so negate).
+    grads = (-scalar_grad, -sbn_grad)
+    updates, opt_state = optimizer.update(grads, opt_state, (q_params, sbn_params))
+    q_params, sbn_params = optax.apply_updates((q_params, sbn_params), updates)
+
+    metrics = {
+        "mean_ll": jnp.mean(lls),
+        "elbo_like": jnp.mean(log_f),
+    }
+    return VBPIState(q_params, sbn_params, opt_state), metrics
+
+
+class JitVBPI:
+    """Host driver around vbpi_train_step for an UnrootedInstance with a
+    split-lognormal branch model. Optionally shards the particle axis over a
+    mesh ("dp") with replicated model constants."""
+
+    def __init__(self, inst, particle_count: int, mesh=None, use_vimco=True,
+                 scalar_lr=1e-3, sbn_lr=1e-3, dtype=None, seed=0, rescale=True):
+        import numpy as np
+
+        from ..models.phylo_model import PhyloModelSpec
+        from ..ops import substitution
+
+        self.inst = inst
+        self.particle_count = particle_count
+        self.mesh = mesh
+        self.rng = np.random.default_rng(seed)
+        dtype = dtype or jnp.float64
+        self.dtype = dtype
+
+        segment_ids = inst.sbn_support.segment_ids()
+        self.segment_ids = jnp.asarray(segment_ids)
+        num_segments = int(segment_ids.max(initial=0)) + 1
+        freqs, evec, ivec, evals = substitution.jc69_eigen(dtype)
+        self.model_tensors = (
+            evec, ivec, evals, freqs,
+            jnp.ones((1,), dtype),  # props
+            substitution.jc69_q(dtype),
+        )
+        sp = inst.engine
+        self.tips = sp.tips.astype(dtype)
+        self.weights = sp.weights.astype(dtype)
+
+        V = inst.psp_indexer.details()["after_rootsplits_index"]
+        q0 = np.full((V, 2), [-2.0, 0.5])
+        self.optimizer = make_optimizer(scalar_lr, sbn_lr)
+        self.state = init_state(
+            jnp.asarray(q0, dtype), jnp.asarray(inst.sbn_parameters, dtype),
+            self.optimizer,
+        )
+        self.statics = VBPIStatics(
+            root_id=2 * inst.sbn_support.taxon_count() - 3,
+            num_segments=num_segments,
+            rescale=rescale,
+            use_vimco=use_vimco,
+        )
+
+    def _host_sample(self):
+        """Sample topologies and lower them to dense step inputs."""
+        import numpy as np
+
+        from ..ops import schedule as schedule_ops
+        from ..sbn import gradients as sbn_gradients_mod
+
+        # Refresh the sampler with current SBN parameters.
+        self.inst.sbn_parameters = np.asarray(self.state.sbn_params)
+        self.inst._sampler = None
+        self.inst.sample_trees(self.particle_count)
+        tops = [t.topology for t in self.inst.tree_collection.trees]
+        sched = schedule_ops.schedules_of_topologies(tops)
+        branch_rep = self.inst.branch_rep_matrix = np.asarray(
+            [
+                self.inst.psp_indexer.representation_of(t)[0]
+                for t in tops
+            ],
+            dtype=np.int32,
+        )
+        reps = self.inst.sbn_support.dense_representations(tops)
+        touched = sbn_gradients_mod.touched_segments_of(
+            self.inst.sbn_support, reps, pad_to=4 * self.inst.sbn_support.taxon_count()
+        )
+        eps = self.rng.standard_normal(branch_rep.shape)
+        return sched, branch_rep, reps, touched, eps
+
+    def _device_put(self, sched, branch_rep, reps, touched, eps):
+        import numpy as np
+
+        sched5 = (
+            sched.post_node, sched.post_children, sched.up_node,
+            sched.up_parent, sched.up_sibs,
+        )
+        arrays = sched5 + (branch_rep, reps, touched, eps.astype(self.dtype))
+        if self.mesh is not None:
+            from ..parallel.sharding import particle_sharding
+
+            sh = particle_sharding(self.mesh)
+            arrays = tuple(jax.device_put(np.asarray(a), sh) for a in arrays)
+        else:
+            arrays = tuple(jnp.asarray(a) for a in arrays)
+        return arrays[:5], arrays[5], arrays[6], arrays[7], arrays[8]
+
+    def step(self, beta: float = 1.0):
+        sched, branch_rep, reps, touched, eps = self._host_sample()
+        sched5, branch_rep, reps, touched, eps = self._device_put(
+            sched, branch_rep, reps, touched, eps
+        )
+        evec, ivec, evals, freqs, props, Q = self.model_tensors
+        self.state, metrics = vbpi_train_step(
+            self.state, self.statics, self.optimizer,
+            sched5, branch_rep, reps, touched, eps,
+            jnp.asarray(beta, self.dtype),
+            self.tips, self.weights, self.segment_ids,
+            evec, ivec, evals, freqs, props, Q,
+        )
+        return metrics

@@ -1,0 +1,4 @@
+from .instance import GPInstance
+from .subsplit_dag import SubsplitDAG
+
+__all__ = ["GPInstance", "SubsplitDAG"]

@@ -78,19 +78,21 @@ class RootedInstance(GenericSBNInstance):
         )
 
     def unconditional_subsplit_probabilities(self):
-        """Via a temporary subsplit DAG (rooted_sbn_instance.cpp:19-40)."""
+        """Via a temporary subsplit DAG (rooted_sbn_instance.cpp:19-40).
+
+        The DAG's non-fake GPCSP layout coincides with the support's (both
+        come from the same rooted counters through build_indexer_bundle);
+        fake-subsplit edges are appended with probability one."""
+        if not self.tree_collection or not self.tree_collection.trees:
+            raise RuntimeError(
+                "Please load some trees before trying to calculate "
+                "unconditional subsplit probabilities."
+            )
         from ..gp.subsplit_dag import SubsplitDAG
 
         dag = SubsplitDAG.of_tree_collection(self.tree_collection)
-        seg = self.sbn_support.segment_ids()
-        num_segments = int(seg.max(initial=0)) + 1
-        from ..sbn import probability as sbn_probability
-
-        normalized = np.asarray(
-            sbn_probability.probability_normalize_in_log(
-                np.asarray(self.sbn_parameters), seg, num_segments
-            )
-        )
-        return dag.unconditional_subsplit_probabilities_from_sbn(
-            self.sbn_support, normalized
-        )
+        params = self.normalized_sbn_parameters()
+        assert params.size == dag.gpcsp_count(), "GPCSP count mismatch."
+        expanded = np.ones(dag.gpcsp_count_with_fake())
+        expanded[: params.size] = params
+        return dag.unconditional_subsplit_probabilities(expanded)

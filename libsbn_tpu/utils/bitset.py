@@ -286,12 +286,13 @@ class Bitset:
         c0 = child_subsplit.subsplit_chunk(0)
         c1 = child_subsplit.subsplit_chunk(1)
         if assert_validity:
+            # Only disjoint-union is asserted (bitset.cpp PCSPOfPair): fake
+            # child subsplits (leaf|0...0) are legal, e.g. in the subsplit
+            # DAG's expanded GPCSP indexer.
             if (c0 & c1).any() or (c0 | c1) != focal:
                 raise ValueError(
                     "child subsplit must disjoint-union to the parent focal clade"
                 )
-            if not c0.any() or not c1.any():
-                raise ValueError("child subsplit chunks must be non-empty")
         child0 = min(c0, c1)
         return sister + focal + child0
 

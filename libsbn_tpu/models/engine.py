@@ -77,6 +77,13 @@ class LikelihoodEngine:
         pad = [(0, 0)] * (bl.ndim - 1) + [(0, 1)]
         return jnp.pad(bl, pad)
 
+    @staticmethod
+    def _pad2(bl):
+        """Append the root and ones-slot zeros: rooted branch vectors cover
+        only the N-1 non-root nodes; the PLV buffers have N+1 slots."""
+        pad = [(0, 0)] * (bl.ndim - 1) + [(0, 2)]
+        return jnp.pad(bl, pad)
+
     def _cached(self, key, builder):
         if key not in self._jit_cache:
             self._jit_cache[key] = builder()
@@ -204,7 +211,7 @@ class LikelihoodEngine:
                     ratios, bounds, leaf_count, pre_node, pre_parent
                 )
                 bl = heights_ops.branch_lengths_from_heights(h, parent)
-                ll = self._tree_ll(sched5, root_id, self._pad(bl * rates), params)
+                ll = self._tree_ll(sched5, root_id, self._pad2(bl * rates), params)
                 ldj = heights_ops.log_det_jacobian(h, bounds, parent, leaf_count)
                 return ll, ldj
 
@@ -243,7 +250,7 @@ class LikelihoodEngine:
                     )
                     bl = heights_ops.branch_lengths_from_heights(h, parent)
                     ll = self._tree_ll(
-                        sched5, root_id, self._pad(bl * rates_), params_
+                        sched5, root_id, self._pad2(bl * rates_), params_
                     )
                     ldj = heights_ops.log_det_jacobian(
                         h, bounds, parent, leaf_count

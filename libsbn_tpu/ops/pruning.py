@@ -53,21 +53,21 @@ def node_transition_matrices(evec, ivec, evals, branch_lengths, rates):
 
 
 # -- forward (postorder) pass ----------------------------------------------
-def _postorder(post_node, post_children, P, tips, rescale: bool):
-    """Compute partials. Returns (M, E, logscale):
-    M: (N+1, K, 4, Pp) node partials; E: (N+1, K, 4, Pp) per-edge evolved
-    partials E[c] = P_c M_c; logscale: (Pp,)."""
+def _postorder_m(post_node, post_children, P, tips, rescale: bool):
+    """Compute node partials only. Returns (M, logscale):
+    M: (N+1, K, 4, Pp); logscale: (Pp,). The scan carries just M — the
+    per-edge evolved partials E are recomputed afterwards in one batched
+    einsum (_evolved_of), keeping the scan's memory traffic minimal."""
     n_slots, K = P.shape[0], P.shape[1]
     L, _, n_pat = tips.shape
     dtype = P.dtype
 
     M = jnp.ones((n_slots, K, 4, n_pat), dtype=dtype)
     M = M.at[:L].set(tips[:, None, :, :].astype(dtype))
-    E = jnp.ones((n_slots, K, 4, n_pat), dtype=dtype)
     logscale = jnp.zeros((n_pat,), dtype=dtype)
 
     def step(carry, xs):
-        M, E, logscale = carry
+        M, logscale = carry
         node, children = xs
         cm = M[children]  # (3, K, 4, Pp)
         cp = P[children]  # (3, K, 4, 4)
@@ -79,13 +79,21 @@ def _postorder(post_node, post_children, P, tips, rescale: bool):
             prod = prod / scale
             logscale = logscale + jnp.log(scale)
         M = M.at[node].set(prod)
-        E = E.at[children].set(ev)
-        return (M, E, logscale), None
+        return (M, logscale), None
 
-    (M, E, logscale), _ = jax.lax.scan(
-        step, (M, E, logscale), (post_node, post_children)
-    )
-    return M, E, logscale
+    (M, logscale), _ = jax.lax.scan(step, (M, logscale), (post_node, post_children))
+    return M, logscale
+
+
+def _evolved_of(P, M):
+    """E[n] = P_n M_n for every slot, one batched contraction."""
+    return jnp.einsum("nkij,nkjp->nkip", P, M)
+
+
+def _postorder(post_node, post_children, P, tips, rescale: bool):
+    """(M, E, logscale) — forward pass plus per-edge evolved partials."""
+    M, logscale = _postorder_m(post_node, post_children, P, tips, rescale)
+    return M, _evolved_of(P, M), logscale
 
 
 # -- preorder (upper partial) pass -----------------------------------------
@@ -134,14 +142,15 @@ def _sched_tuple(sched):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _log_likelihood(rescale: bool, root_id: int, sched5, P, tips, freqs, props, weights):
     post_node, post_children, _, _, _ = sched5
-    M, _, logscale = _postorder(post_node, post_children, P, tips, rescale)
+    M, logscale = _postorder_m(post_node, post_children, P, tips, rescale)
     site = _root_site_likelihoods(M, root_id, freqs, props)
     return jnp.sum(weights * (jnp.log(site) + logscale))
 
 
 def _ll_fwd(rescale, root_id, sched5, P, tips, freqs, props, weights):
     post_node, post_children, up_node, up_parent, up_sibs = sched5
-    M, E, logscale = _postorder(post_node, post_children, P, tips, rescale)
+    M, logscale = _postorder_m(post_node, post_children, P, tips, rescale)
+    E = _evolved_of(P, M)
     site = _root_site_likelihoods(M, root_id, freqs, props)
     ll = jnp.sum(weights * (jnp.log(site) + logscale))
     return ll, (sched5, P, tips, freqs, props, weights, M, E, logscale, site)
@@ -191,6 +200,10 @@ _log_likelihood.defvjp(_ll_fwd, _ll_bwd)
 def log_likelihood(sched, P, tips, freqs, props, weights, rescale: bool = True):
     """Log likelihood of one tree. P: (N+1,K,4,4) node transition matrices,
     tips: (L,4,Pp), freqs: (4,), props: (K,), weights: (Pp,)."""
+    assert P.shape[-4] == sched.root_id + 2, (
+        f"P must cover N+1 = root_id+2 slots (root + ones slot); got "
+        f"{P.shape[-4]} for root_id {sched.root_id}"
+    )
     return _log_likelihood(
         rescale, sched.root_id, _sched_tuple(sched), P, tips, freqs, props, weights
     )
@@ -204,9 +217,14 @@ def log_likelihood_and_branch_gradient(
     Q_scaled: (K,4,4), the rate matrix scaled by each category rate
     (BuildDifferentialMatrices analog, fat_beagle.cpp:107-117). Returns
     gradient over node ids 0..root_id-1 (every non-root node's edge)."""
+    assert P.shape[-4] == sched.root_id + 2, (
+        f"P must cover N+1 = root_id+2 slots (root + ones slot); got "
+        f"{P.shape[-4]} for root_id {sched.root_id}"
+    )
     post_node, post_children, up_node, up_parent, up_sibs = _sched_tuple(sched)
     root_id = sched.root_id
-    M, E, logscale = _postorder(post_node, post_children, P, tips, rescale)
+    M, logscale = _postorder_m(post_node, post_children, P, tips, rescale)
+    E = _evolved_of(P, M)
     site = _root_site_likelihoods(M, root_id, freqs, props)
     ll = jnp.sum(weights * (jnp.log(site) + logscale))
 

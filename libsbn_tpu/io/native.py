@@ -1,0 +1,138 @@
+"""ctypes bindings for the native host core (native/libsbn_native.cpp).
+
+The shared library is built with `make -C native` (g++, no dependencies).
+All entry points degrade gracefully: if the library is missing or a parse
+hits an unsupported construct, callers fall back to the pure-Python
+implementations in io/newick.py and ops/schedule.py.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SO_PATH = os.path.join(_REPO_ROOT, "native", "libsbn_native.so")
+
+_lib = None
+_load_attempted = False
+
+
+class _ParseResult(ctypes.Structure):
+    _fields_ = [
+        ("n_trees", ctypes.c_int32),
+        ("n_taxa", ctypes.c_int32),
+        ("n_nodes", ctypes.c_int32),
+        ("parent_vectors", ctypes.POINTER(ctypes.c_int32)),
+        ("branch_lengths", ctypes.POINTER(ctypes.c_double)),
+        ("taxon_names", ctypes.c_char_p),
+        ("error", ctypes.c_char_p),
+    ]
+
+
+def _try_build() -> bool:
+    makefile = os.path.join(_REPO_ROOT, "native", "Makefile")
+    if not os.path.exists(makefile):
+        return False
+    try:
+        subprocess.run(
+            ["make", "-C", os.path.join(_REPO_ROOT, "native")],
+            check=True, capture_output=True, timeout=120,
+        )
+        return os.path.exists(_SO_PATH)
+    except Exception:
+        return False
+
+
+def get_lib():
+    """Load (building if necessary) the native library, or None."""
+    global _lib, _load_attempted
+    if _lib is not None or _load_attempted:
+        return _lib
+    _load_attempted = True
+    if not os.path.exists(_SO_PATH) and not _try_build():
+        return None
+    try:
+        lib = ctypes.CDLL(_SO_PATH)
+    except OSError:
+        return None
+    lib.lsbn_parse_newick_file.restype = ctypes.POINTER(_ParseResult)
+    lib.lsbn_parse_newick_file.argtypes = [ctypes.c_char_p]
+    lib.lsbn_parse_nexus_file.restype = ctypes.POINTER(_ParseResult)
+    lib.lsbn_parse_nexus_file.argtypes = [ctypes.c_char_p]
+    lib.lsbn_free_result.restype = None
+    lib.lsbn_free_result.argtypes = [ctypes.POINTER(_ParseResult)]
+    lib.lsbn_build_schedules.restype = ctypes.c_int32
+    lib.lsbn_build_schedules.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32,
+    ] + [ctypes.POINTER(ctypes.c_int32)] * 5
+    _lib = lib
+    return _lib
+
+
+def parse_tree_file(path: str, nexus: bool):
+    """Parse via the native library.
+
+    Returns (parent_vectors (T, N-1) int32, branch_lengths (T, N) float64,
+    taxon_names list) or None if the native path is unavailable/failed."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    fn = lib.lsbn_parse_nexus_file if nexus else lib.lsbn_parse_newick_file
+    res = fn(path.encode())
+    try:
+        r = res.contents
+        if r.error:
+            return None
+        T, N = r.n_trees, r.n_nodes
+        parents = np.ctypeslib.as_array(
+            r.parent_vectors, shape=(T, N - 1)
+        ).copy()
+        bls = np.ctypeslib.as_array(r.branch_lengths, shape=(T, N)).copy()
+        names = r.taxon_names.decode().split("\n") if r.taxon_names else []
+        if len(names) != r.n_taxa:
+            return None
+        return parents, bls, names
+    finally:
+        lib.lsbn_free_result(res)
+
+
+def build_schedules(parent_vectors: np.ndarray, n_leaves: int):
+    """Batched schedules from (T, N-1) parent vectors via the native builder.
+
+    Returns dict of arrays or None on failure."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    pv = np.ascontiguousarray(parent_vectors, dtype=np.int32)
+    T, nm1 = pv.shape
+    N = nm1 + 1
+    n_internal = N - n_leaves
+    post_node = np.empty((T, n_internal), dtype=np.int32)
+    post_children = np.empty((T, n_internal, 3), dtype=np.int32)
+    up_node = np.empty((T, N - 1), dtype=np.int32)
+    up_parent = np.empty((T, N - 1), dtype=np.int32)
+    up_sibs = np.empty((T, N - 1, 2), dtype=np.int32)
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    rc = lib.lsbn_build_schedules(
+        ptr(pv), T, N, n_leaves,
+        ptr(post_node), ptr(post_children), ptr(up_node), ptr(up_parent),
+        ptr(up_sibs),
+    )
+    if rc != 0:
+        return None
+    return {
+        "post_node": post_node,
+        "post_children": post_children,
+        "up_node": up_node,
+        "up_parent": up_parent,
+        "up_sibs": up_sibs,
+    }

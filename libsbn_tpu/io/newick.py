@@ -153,6 +153,16 @@ class NewickParser:
         return top, bl
 
 
+def _from_native(parsed):
+    """Build (topologies, branch_lengths, tag_taxon_map) from native arrays."""
+    parent_vectors, bls, names = parsed
+    tops = [
+        Topology.of_parent_id_vector(list(pv)) for pv in parent_vectors
+    ]
+    ttm = {(i, 1): name for i, name in enumerate(names)}
+    return tops, [b for b in bls], ttm
+
+
 def parse_newick_string(s: str):
     """Parse a single newick string; returns (topologies, branch_lengths,
     tag_taxon_map)."""
@@ -169,6 +179,11 @@ def parse_newick_string(s: str):
 
 
 def parse_newick_file(path: str):
+    from . import native
+
+    parsed = native.parse_tree_file(path, nexus=False)
+    if parsed is not None:
+        return _from_native(parsed)
     with open(path) as f:
         return parse_newick_string(f.read())
 
@@ -179,6 +194,11 @@ def parse_nexus_file(path: str):
     Returns (topologies, branch_lengths, tag_taxon_map) where taxa are
     numbered by translate-block order and the tag_taxon_map holds long names.
     """
+    from . import native
+
+    parsed = native.parse_tree_file(path, nexus=True)
+    if parsed is not None:
+        return _from_native(parsed)
     with open(path) as f:
         lines = f.read().splitlines()
     if not lines or lines[0].strip() != "#NEXUS":

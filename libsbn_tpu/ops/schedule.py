@@ -160,4 +160,54 @@ def batch_schedules(schedules: Sequence[PruningSchedule]) -> BatchedSchedule:
 
 
 def schedules_of_topologies(tops: Sequence[Topology]) -> BatchedSchedule:
+    native = _native_batched(tops)
+    if native is not None:
+        return native
     return batch_schedules([schedule_of_topology(t) for t in tops])
+
+
+def _native_batched(tops: Sequence[Topology]) -> "BatchedSchedule | None":
+    """Fast path: build the batched schedule via the native C++ builder
+    (native/libsbn_native.cpp lsbn_build_schedules)."""
+    try:
+        from ..io import native
+    except ImportError:  # pragma: no cover
+        return None
+    if not tops:
+        return None
+    first = tops[0]
+    if first.id < 0:
+        for t in tops:
+            t.polish()
+    node_count = first.id + 1
+    leaf_count = first.leaf_count
+    pv_rows = []
+    for t in tops:
+        if t.id + 1 != node_count or t.leaf_count != leaf_count:
+            return None
+        pv_rows.append(t.parent_id_vector())
+    pv = np.asarray(pv_rows, dtype=np.int32)
+    out = native.build_schedules(pv, leaf_count)
+    if out is None:
+        return None
+    # The parent vector IS the per-node parent array; the internal-node
+    # preorder steps are the up steps whose destination is internal.
+    internal_mask = out["up_node"] >= leaf_count
+    counts = internal_mask.sum(axis=1)
+    if counts.size and not np.all(counts == counts[0]):
+        return None
+    pre_node = out["up_node"][internal_mask].reshape(len(tops), -1)
+    pre_parent = out["up_parent"][internal_mask].reshape(len(tops), -1)
+    return BatchedSchedule(
+        node_count=node_count,
+        leaf_count=leaf_count,
+        root_id=node_count - 1,
+        post_node=out["post_node"],
+        post_children=out["post_children"],
+        up_node=out["up_node"],
+        up_parent=out["up_parent"],
+        up_sibs=out["up_sibs"],
+        parent=pv,
+        pre_internal_node=pre_node,
+        pre_internal_parent=pre_parent,
+    )

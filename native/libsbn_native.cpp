@@ -1,0 +1,559 @@
+// Native host-side core for libsbn_tpu: newick/nexus parsing and traversal
+// schedule construction.
+//
+// This replaces the reference's bison/flex parser + Node machinery
+// (/root/reference/src/driver.cpp, parser.yy, node.cpp) for the hot host
+// paths: parsing large MCMC tree files and lowering sampled topologies to
+// the dense index schedules the TPU kernels consume. Semantics mirror the
+// Python implementation in libsbn_tpu/io/newick.py and ops/schedule.py:
+//
+//   * taxa are numbered by order of appearance in the first tree, or by
+//     nexus translate-block order;
+//   * children are sorted by max leaf id (canonicalization, node.cpp);
+//   * leaves take their taxon number as node id; internal nodes are numbered
+//     in postorder after sorting, root last;
+//   * quoted labels and BEAST [&...] metadata comments are handled;
+//   * schedules: postorder combine steps padded to 3 children with the ones
+//     slot, preorder upper-partial steps, parent vectors, internal preorder.
+//
+// Exposed as a C ABI for ctypes (no pybind11 in this image).
+
+#include <algorithm>
+#include <cctype>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <fstream>
+#include <memory>
+#include <sstream>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct ParseNode {
+  std::vector<int> children;  // indices into the node arena
+  int leaf_id = -1;
+  int max_leaf = -1;
+  double bl = 0.0;
+  int id = -1;  // assigned by polish
+};
+
+struct TreeArena {
+  std::vector<ParseNode> nodes;
+  int root = -1;
+};
+
+struct Parser {
+  std::unordered_map<std::string, int> taxa;
+  std::vector<std::string> taxa_order;
+  bool taxa_complete = false;
+  std::string error;
+
+  // -- tokenizer over one line ------------------------------------------
+  const char* p = nullptr;
+  const char* end = nullptr;
+
+  void skip_ws() {
+    while (p < end && std::isspace(static_cast<unsigned char>(*p))) p++;
+  }
+
+  // Skip [&...] metadata comments (possibly several).
+  void skip_comments() {
+    skip_ws();
+    while (p + 1 < end && p[0] == '[' && p[1] == '&') {
+      while (p < end && *p != ']') p++;
+      if (p < end) p++;  // ']'
+      skip_ws();
+    }
+  }
+
+  bool parse_label(std::string* out) {
+    skip_ws();
+    if (p >= end) return false;
+    if (*p == '\'' || *p == '"') {
+      const char delim = *p;
+      std::string s(1, delim);
+      p++;
+      while (p < end) {
+        if (*p == '\\' && p + 1 < end) {
+          s += *p;
+          s += *(p + 1);
+          p += 2;
+        } else if (*p == delim) {
+          s += delim;
+          p++;
+          break;
+        } else {
+          s += *p;
+          p++;
+        }
+      }
+      *out = s;
+      return true;
+    }
+    std::string s;
+    while (p < end && !std::isspace(static_cast<unsigned char>(*p)) &&
+           std::strchr("()[],:;", *p) == nullptr) {
+      s += *p;
+      p++;
+    }
+    if (s.empty()) return false;
+    *out = s;
+    return true;
+  }
+
+  int parse_fancy_node(TreeArena* arena) {
+    int node = parse_node(arena);
+    if (node < 0) return -1;
+    skip_comments();
+    if (p < end && *p == ':') {
+      p++;
+      skip_comments();
+      char* next = nullptr;
+      std::string num;
+      skip_ws();
+      while (p < end && !std::isspace(static_cast<unsigned char>(*p)) &&
+             std::strchr("()[],:;", *p) == nullptr) {
+        num += *p;
+        p++;
+      }
+      const double bl = std::strtod(num.c_str(), &next);
+      if (num.empty() || next == num.c_str()) {
+        error = "Float conversion failed on branch length '" + num + "'";
+        return -1;
+      }
+      arena->nodes[node].bl = bl;
+    }
+    return node;
+  }
+
+  int parse_node(TreeArena* arena) {
+    skip_ws();
+    if (p < end && *p == '(') {
+      p++;
+      std::vector<int> children;
+      while (true) {
+        const int child = parse_fancy_node(arena);
+        if (child < 0) return -1;
+        children.push_back(child);
+        skip_ws();
+        if (p < end && *p == ',') {
+          p++;
+          continue;
+        }
+        break;
+      }
+      skip_ws();
+      if (p >= end || *p != ')') {
+        error = "Expected ')' in newick string";
+        return -1;
+      }
+      p++;
+      // Optional internal label (support value) — ignore.
+      skip_comments();
+      if (p < end && std::strchr("()[],:;", *p) == nullptr &&
+          !std::isspace(static_cast<unsigned char>(*p))) {
+        std::string ignored;
+        parse_label(&ignored);
+      }
+      // Canonicalize: sort children by max leaf id.
+      std::sort(children.begin(), children.end(),
+                [arena](int a, int b) {
+                  return arena->nodes[a].max_leaf < arena->nodes[b].max_leaf;
+                });
+      for (size_t i = 1; i < children.size(); ++i) {
+        if (arena->nodes[children[i - 1]].max_leaf ==
+            arena->nodes[children[i]].max_leaf) {
+          error = "Tie in max leaf ids; repeated taxon?";
+          return -1;
+        }
+      }
+      ParseNode n;
+      n.children = std::move(children);
+      n.max_leaf = arena->nodes[n.children.back()].max_leaf;
+      arena->nodes.push_back(std::move(n));
+      return static_cast<int>(arena->nodes.size()) - 1;
+    }
+    // Leaf.
+    std::string name;
+    if (!parse_label(&name)) {
+      error = "Expected label in newick string";
+      return -1;
+    }
+    skip_comments();
+    int leaf_id;
+    if (!taxa_complete) {
+      auto it = taxa.find(name);
+      if (it == taxa.end()) {
+        leaf_id = static_cast<int>(taxa.size());
+        taxa.emplace(name, leaf_id);
+        taxa_order.push_back(name);
+      } else {
+        leaf_id = it->second;
+      }
+    } else {
+      auto it = taxa.find(name);
+      if (it == taxa.end()) {
+        error = "Taxon '" + name + "' is not known in our taxon set.";
+        return -1;
+      }
+      leaf_id = it->second;
+    }
+    ParseNode n;
+    n.leaf_id = leaf_id;
+    n.max_leaf = leaf_id;
+    arena->nodes.push_back(std::move(n));
+    return static_cast<int>(arena->nodes.size()) - 1;
+  }
+
+  bool parse_tree(const std::string& line, TreeArena* arena) {
+    p = line.data();
+    end = line.data() + line.size();
+    arena->nodes.clear();
+    arena->root = parse_fancy_node(arena);
+    if (arena->root < 0) return false;
+    skip_ws();
+    if (p >= end || *p != ';') {
+      error = "Expected ';' at end of newick string";
+      return false;
+    }
+    taxa_complete = true;
+    return true;
+  }
+};
+
+// Polish: assign ids (leaves by taxon number, internals postorder) and emit
+// parent vector + branch lengths by id.
+void PolishAndEmit(TreeArena* arena, int n_taxa, std::vector<int32_t>* parents,
+                   std::vector<double>* bls) {
+  int next_id = n_taxa;
+  // Iterative postorder id assignment.
+  std::vector<std::pair<int, bool>> stack;
+  stack.push_back({arena->root, false});
+  while (!stack.empty()) {
+    auto [idx, expanded] = stack.back();
+    stack.pop_back();
+    ParseNode& node = arena->nodes[idx];
+    if (expanded || node.children.empty()) {
+      node.id = node.children.empty() ? node.leaf_id : next_id++;
+    } else {
+      stack.push_back({idx, true});
+      for (auto it = node.children.rbegin(); it != node.children.rend(); ++it) {
+        stack.push_back({*it, false});
+      }
+    }
+  }
+  const int n_nodes = next_id;
+  parents->assign(n_nodes - 1, -1);
+  bls->assign(n_nodes, 0.0);
+  for (const auto& node : arena->nodes) {
+    (*bls)[node.id] = node.bl;
+    for (const int child : node.children) {
+      (*parents)[arena->nodes[child].id] = node.id;
+    }
+  }
+}
+
+std::string Dequote(const std::string& s) {
+  if (s.empty() || (s[0] != '\'' && s[0] != '"')) return s;
+  const char delim = s[0];
+  std::string out;
+  size_t i = 1;
+  while (i < s.size()) {
+    if (s[i] == '\\' && i + 1 < s.size()) {
+      out += s[i + 1];
+      i += 2;
+    } else if (s[i] == delim) {
+      break;
+    } else {
+      out += s[i];
+      i++;
+    }
+  }
+  return out;
+}
+
+std::string ToLower(std::string s) {
+  std::transform(s.begin(), s.end(), s.begin(),
+                 [](unsigned char c) { return std::tolower(c); });
+  return s;
+}
+
+}  // namespace
+
+extern "C" {
+
+struct LsbnParseResult {
+  int32_t n_trees = 0;
+  int32_t n_taxa = 0;
+  int32_t n_nodes = 0;  // nodes per tree (uniform; 0 on error)
+  int32_t* parent_vectors = nullptr;  // (n_trees, n_nodes - 1)
+  double* branch_lengths = nullptr;   // (n_trees, n_nodes)
+  char* taxon_names = nullptr;        // '\n'-joined, dequoted
+  char* error = nullptr;              // non-null on failure
+};
+
+static LsbnParseResult* MakeError(const std::string& message) {
+  auto* r = new LsbnParseResult();
+  r->error = strdup(message.c_str());
+  return r;
+}
+
+static LsbnParseResult* FinishParse(
+    Parser& parser, const std::vector<std::vector<int32_t>>& parent_rows,
+    const std::vector<std::vector<double>>& bl_rows,
+    const std::vector<std::string>& names) {
+  if (!parser.error.empty()) return MakeError(parser.error);
+  if (parent_rows.empty()) return MakeError("No trees found");
+  const size_t n_nodes = bl_rows[0].size();
+  for (const auto& row : bl_rows) {
+    if (row.size() != n_nodes) {
+      return MakeError("Trees have differing node counts");
+    }
+  }
+  auto* r = new LsbnParseResult();
+  r->n_trees = static_cast<int32_t>(parent_rows.size());
+  r->n_taxa = static_cast<int32_t>(names.size());
+  r->n_nodes = static_cast<int32_t>(n_nodes);
+  r->parent_vectors = static_cast<int32_t*>(
+      std::malloc(sizeof(int32_t) * r->n_trees * (n_nodes - 1)));
+  r->branch_lengths =
+      static_cast<double*>(std::malloc(sizeof(double) * r->n_trees * n_nodes));
+  for (int t = 0; t < r->n_trees; ++t) {
+    std::memcpy(r->parent_vectors + t * (n_nodes - 1), parent_rows[t].data(),
+                sizeof(int32_t) * (n_nodes - 1));
+    std::memcpy(r->branch_lengths + t * n_nodes, bl_rows[t].data(),
+                sizeof(double) * n_nodes);
+  }
+  std::string joined;
+  for (size_t i = 0; i < names.size(); ++i) {
+    if (i) joined += '\n';
+    joined += Dequote(names[i]);
+  }
+  r->taxon_names = strdup(joined.c_str());
+  return r;
+}
+
+LsbnParseResult* lsbn_parse_newick_file(const char* path) {
+  std::ifstream in(path);
+  if (!in) return MakeError(std::string("Cannot open the File : ") + path);
+  Parser parser;
+  std::vector<std::vector<int32_t>> parent_rows;
+  std::vector<std::vector<double>> bl_rows;
+  std::string line;
+  TreeArena arena;
+  while (std::getline(in, line)) {
+    const auto start = line.find('(');
+    if (start == std::string::npos) continue;
+    line.erase(0, start);
+    if (!parser.parse_tree(line, &arena)) return MakeError(parser.error);
+    std::vector<int32_t> parents;
+    std::vector<double> bls;
+    PolishAndEmit(&arena, static_cast<int>(parser.taxa.size()), &parents, &bls);
+    parent_rows.push_back(std::move(parents));
+    bl_rows.push_back(std::move(bls));
+  }
+  return FinishParse(parser, parent_rows, bl_rows, parser.taxa_order);
+}
+
+LsbnParseResult* lsbn_parse_nexus_file(const char* path) {
+  std::ifstream in(path);
+  if (!in) return MakeError(std::string("Cannot open the File : ") + path);
+  std::string line;
+  if (!std::getline(in, line) || line.rfind("#NEXUS", 0) != 0) {
+    return MakeError("Putative Nexus file doesn't begin with #NEXUS.");
+  }
+  // Find 'begin trees;'.
+  bool found = false;
+  while (std::getline(in, line)) {
+    if (ToLower(line).find("begin trees;") != std::string::npos) {
+      found = true;
+      break;
+    }
+  }
+  if (!found) return MakeError("Couldn't find 'begin trees;'");
+  if (!std::getline(in, line)) return MakeError("EOF after begin trees");
+  {
+    std::string lower = ToLower(line);
+    size_t pos = lower.find_first_not_of(" \t");
+    if (pos == std::string::npos || lower.compare(pos, 9, "translate") != 0) {
+      return MakeError("Missing translate block.");
+    }
+  }
+  Parser parser;
+  std::vector<std::string> long_names;
+  // Parse translate items: "<short> <long>[,;]". A line that does not fit
+  // this shape (e.g. the first tree when the block has no lone semicolon)
+  // ends the block WITHOUT being consumed, mirroring io/newick.py.
+  bool done_translate = false;
+  std::string pending_line;
+  bool have_pending = false;
+  while (!done_translate && std::getline(in, line)) {
+    // A translate item's long name may not contain ',' or ';' internally.
+    std::istringstream ss(line);
+    std::string short_name, rest;
+    if (!(ss >> short_name)) break;
+    std::getline(ss, rest);
+    size_t b = rest.find_first_not_of(" \t");
+    if (b == std::string::npos) rest.clear(); else rest = rest.substr(b);
+    size_t e = rest.find_last_not_of(" \t\r");
+    if (e != std::string::npos) rest = rest.substr(0, e + 1);
+    if (short_name == ";") break;
+    bool ends_with_semi = !rest.empty() && rest.back() == ';';
+    bool ends_with_comma = !rest.empty() && rest.back() == ',';
+    std::string body = rest;
+    if (ends_with_semi || ends_with_comma) body.pop_back();
+    const bool valid_item =
+        short_name.find('(') == std::string::npos &&
+        body.find(',') == std::string::npos &&
+        body.find(';') == std::string::npos;
+    if (!valid_item) {
+      pending_line = line;
+      have_pending = true;
+      break;
+    }
+    const int leaf_id = static_cast<int>(parser.taxa.size());
+    parser.taxa.emplace(short_name, leaf_id);
+    long_names.push_back(body);
+    if (ends_with_semi) done_translate = true;
+  }
+  if (parser.taxa.empty()) return MakeError("No taxa found in translate block!");
+  parser.taxa_complete = true;
+  std::vector<std::vector<int32_t>> parent_rows;
+  std::vector<std::vector<double>> bl_rows;
+  TreeArena arena;
+  auto process_line = [&](std::string tree_line) -> bool {
+    const auto start = tree_line.find('(');
+    if (start == std::string::npos) return true;
+    tree_line.erase(0, start);
+    if (!parser.parse_tree(tree_line, &arena)) return false;
+    std::vector<int32_t> parents;
+    std::vector<double> bls;
+    PolishAndEmit(&arena, static_cast<int>(parser.taxa.size()), &parents, &bls);
+    parent_rows.push_back(std::move(parents));
+    bl_rows.push_back(std::move(bls));
+    return true;
+  };
+  if (have_pending && !process_line(pending_line)) return MakeError(parser.error);
+  while (std::getline(in, line)) {
+    if (!process_line(line)) return MakeError(parser.error);
+  }
+  return FinishParse(parser, parent_rows, bl_rows, long_names);
+}
+
+void lsbn_free_result(LsbnParseResult* r) {
+  if (!r) return;
+  std::free(r->parent_vectors);
+  std::free(r->branch_lengths);
+  std::free(r->taxon_names);
+  std::free(r->error);
+  delete r;
+}
+
+// -- schedule construction --------------------------------------------------
+// Build the dense pruning schedules for a batch of same-shape trees directly
+// from parent-id vectors (see ops/schedule.py for the layout contract).
+// Output arrays are caller-allocated:
+//   post_node      (n_trees, n_internal)
+//   post_children  (n_trees, n_internal, 3)    padded with ones_slot = n_nodes
+//   up_node        (n_trees, n_nodes - 1)
+//   up_parent      (n_trees, n_nodes - 1)
+//   up_sibs        (n_trees, n_nodes - 1, 2)   padded with ones_slot
+// Returns 0 on success, nonzero on shape error.
+int32_t lsbn_build_schedules(const int32_t* parent_vectors, int32_t n_trees,
+                             int32_t n_nodes, int32_t n_leaves,
+                             int32_t* post_node, int32_t* post_children,
+                             int32_t* up_node, int32_t* up_parent,
+                             int32_t* up_sibs) {
+  const int32_t n_internal = n_nodes - n_leaves;
+  const int32_t ones = n_nodes;
+  std::vector<std::vector<int32_t>> children(n_nodes);
+  std::vector<int32_t> order;
+  order.reserve(n_nodes);
+  for (int t = 0; t < n_trees; ++t) {
+    const int32_t* pv = parent_vectors + t * (n_nodes - 1);
+    for (auto& c : children) c.clear();
+    for (int32_t i = 0; i < n_nodes - 1; ++i) {
+      if (pv[i] < 0 || pv[i] >= n_nodes) return 1;
+      children[pv[i]].push_back(i);
+    }
+    // Children arrive in ascending node-id order, which for polished trees
+    // is NOT always the canonical order; but the canonical order is by max
+    // leaf id, and for polished trees child ids are assigned postorder so
+    // the subtree with smaller max leaf id is visited first and gets the
+    // smaller internal id; leaves use taxon ids. Sorting by max-leaf is
+    // still required when an internal id exceeds a sibling leaf id. Compute
+    // max-leaf per node to sort exactly as the Python lowering does.
+    std::vector<int32_t> max_leaf(n_nodes, -1);
+    // Iterative postorder over node n_nodes-1.
+    std::vector<std::pair<int32_t, bool>> stack;
+    order.clear();
+    stack.push_back({n_nodes - 1, false});
+    while (!stack.empty()) {
+      auto [node, expanded] = stack.back();
+      stack.pop_back();
+      if (expanded || children[node].empty()) {
+        if (children[node].empty()) {
+          max_leaf[node] = node;  // leaves have ids < n_leaves
+        } else {
+          int32_t m = -1;
+          for (int32_t c : children[node]) m = std::max(m, max_leaf[c]);
+          max_leaf[node] = m;
+        }
+        order.push_back(node);
+      } else {
+        stack.push_back({node, true});
+        for (auto it = children[node].rbegin(); it != children[node].rend();
+             ++it) {
+          stack.push_back({*it, false});
+        }
+      }
+    }
+    // Sort each node's children canonically.
+    for (auto& c : children) {
+      std::sort(c.begin(), c.end(), [&max_leaf](int32_t a, int32_t b) {
+        return max_leaf[a] < max_leaf[b];
+      });
+    }
+    // Postorder steps over internal nodes (order already postorder).
+    int32_t step = 0;
+    for (const int32_t node : order) {
+      if (children[node].empty()) continue;
+      if (children[node].size() > 3) return 2;
+      post_node[t * n_internal + step] = node;
+      for (int k = 0; k < 3; ++k) {
+        post_children[(t * n_internal + step) * 3 + k] =
+            k < static_cast<int>(children[node].size())
+                ? children[node][k]
+                : ones;
+      }
+      step++;
+    }
+    if (step != n_internal) return 3;
+    // Preorder upper-partial steps.
+    int32_t up = 0;
+    for (auto it = order.rbegin(); it != order.rend(); ++it) {
+      const int32_t node = *it;
+      if (children[node].empty()) continue;
+      for (const int32_t c : children[node]) {
+        up_node[t * (n_nodes - 1) + up] = c;
+        up_parent[t * (n_nodes - 1) + up] = node;
+        int k = 0;
+        for (const int32_t s : children[node]) {
+          if (s != c) {
+            up_sibs[(t * (n_nodes - 1) + up) * 2 + k] = s;
+            k++;
+          }
+        }
+        for (; k < 2; ++k) up_sibs[(t * (n_nodes - 1) + up) * 2 + k] = ones;
+        up++;
+      }
+    }
+    if (up != n_nodes - 1) return 4;
+  }
+  return 0;
+}
+
+}  // extern "C"

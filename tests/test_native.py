@@ -1,0 +1,124 @@
+"""Native C++ host core vs pure-Python reference implementation parity
+(native/libsbn_native.cpp vs io/newick.py + ops/schedule.py)."""
+
+import numpy as np
+import pytest
+
+from libsbn_tpu.core.topology import Topology
+from libsbn_tpu.io import native, newick
+from libsbn_tpu.ops import schedule as schedule_ops
+
+FILES = [
+    ("hello.nwk", False),
+    ("five_taxon_unrooted.nwk", False),
+    ("five_taxon_rooted.nwk", False),
+    ("DS1.100_topologies.nwk", False),
+    ("fluA.tree", False),
+    ("hotstart_bootstrap_sample.nwk", False),
+    ("DS1.subsampled_10.t", True),
+    ("DS1.subsampled_10.t.reordered", True),
+    ("test_beast_tree_parsing.nexus", True),
+    ("gradient_test.t", True),
+    ("hello_out.t", True),
+]
+
+
+@pytest.fixture(scope="module")
+def lib():
+    lib = native.get_lib()
+    if lib is None:
+        pytest.skip("native library unavailable")
+    return lib
+
+
+@pytest.mark.parametrize("fname,nexus", FILES)
+def test_native_parse_matches_python(lib, data_dir, fname, nexus):
+    path = f"{data_dir}/{fname}"
+    out = native.parse_tree_file(path, nexus)
+    assert out is not None, "native parse failed"
+    pv, bl, names = out
+
+    # Pure-Python reference path (bypass the native fast path).
+    if nexus:
+        import libsbn_tpu.io.native as native_mod
+
+        saved = native_mod.parse_tree_file
+        native_mod.parse_tree_file = lambda *a, **k: None
+        try:
+            tops, bls, ttm = newick.parse_nexus_file(path)
+        finally:
+            native_mod.parse_tree_file = saved
+    else:
+        with open(path) as f:
+            tops, bls, ttm = newick.parse_newick_string(f.read())
+
+    assert names == [ttm[(i, 1)] for i in range(len(ttm))]
+    assert pv.shape[0] == len(tops)
+    for i, top in enumerate(tops):
+        assert list(pv[i]) == top.parent_id_vector(), (fname, i)
+        np.testing.assert_array_equal(bl[i], bls[i])
+
+
+def test_native_schedules_match_python(lib, data_dir):
+    tops, _, _ = newick.parse_newick_file(f"{data_dir}/DS1.100_topologies.nwk")
+    pv = np.asarray([t.parent_id_vector() for t in tops], dtype=np.int32)
+    ns = native.build_schedules(pv, tops[0].leaf_count)
+    ps = schedule_ops.batch_schedules(
+        [schedule_ops.schedule_of_topology(t) for t in tops]
+    )
+    np.testing.assert_array_equal(ns["post_node"], ps.post_node)
+    np.testing.assert_array_equal(ns["post_children"], ps.post_children)
+    # Up schedules may differ in order but must be the same set of steps in
+    # a parents-first order.
+    for t in range(len(tops)):
+        a = set(
+            map(
+                tuple,
+                np.c_[
+                    ns["up_node"][t], ns["up_parent"][t],
+                    np.sort(ns["up_sibs"][t], axis=1),
+                ],
+            )
+        )
+        b = set(
+            map(
+                tuple,
+                np.c_[
+                    ps.up_node[t], ps.up_parent[t], np.sort(ps.up_sibs[t], axis=1)
+                ],
+            )
+        )
+        assert a == b
+        # Parents-first: a node must appear as up_node before it appears as
+        # up_parent.
+        seen = {int(ps.root_id)}
+        for node, parent in zip(ns["up_node"][t], ns["up_parent"][t]):
+            assert int(parent) in seen
+            seen.add(int(node))
+
+
+def test_native_schedule_likelihood_equivalence(lib, data_dir):
+    """Likelihoods and gradients through native schedules match Python ones."""
+    import jax.numpy as jnp
+
+    from libsbn_tpu.core.site_pattern import SitePattern
+    from libsbn_tpu.io.fasta import Alignment
+    from libsbn_tpu.models.engine import LikelihoodEngine
+    from libsbn_tpu.models.phylo_model import PhyloModelSpec, default_parameters
+
+    tops, bls, ttm = newick.parse_nexus_file(f"{data_dir}/DS1.subsampled_10.t")
+    sp = SitePattern(Alignment.read_fasta(f"{data_dir}/DS1.fasta"), ttm)
+    spec = PhyloModelSpec("JC69", "constant", "strict")
+    engine = LikelihoodEngine(sp, spec)
+    params = default_parameters(spec)
+    bl = np.stack(bls)
+
+    sched_native = schedule_ops.schedules_of_topologies(tops)
+    sched_python = schedule_ops.batch_schedules(
+        [schedule_ops.schedule_of_topology(t) for t in tops]
+    )
+    ll_n, g_n = engine.branch_gradients(sched_native, bl, params)
+    engine._jit_cache = {}
+    ll_p, g_p = engine.branch_gradients(sched_python, bl, params)
+    np.testing.assert_allclose(ll_n, ll_p, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(g_n, g_p, rtol=1e-9, atol=1e-9)

@@ -51,6 +51,24 @@ class UnrootedInstance(GenericSBNInstance):
             trees, self.tree_collection.tag_taxon_map
         )
 
+    def split_counters(self):
+        """(rootsplit counter, PCSP counter) as string-keyed maps, recomputed
+        from scratch (unrooted_sbn_instance.cpp SplitCounters)."""
+        from ..sbn import maps
+
+        counter = self.tree_collection.topology_counter()
+        rootsplits = {
+            b.to_string(): c
+            for b, c in maps.unrooted_rootsplit_counter_of(counter).items()
+        }
+        pcsps = {
+            parent.to_string(): {
+                child.to_string(): c for child, c in children.items()
+            }
+            for parent, children in maps.unrooted_pcsp_counter_of(counter).items()
+        }
+        return rootsplits, pcsps
+
     # -- PSP -----------------------------------------------------------------
     def make_psp_indexer_representations(self) -> List[List[List[int]]]:
         return [

@@ -21,7 +21,9 @@ class BlockSpecification:
     def __init__(self, param_counts: List[Tuple[str, int]]):
         self.map: Dict[str, Tuple[int, int]] = {}
         next_available = 0
-        for key, size in param_counts:
+        # The reference stores blocks in a std::map, so indices are assigned
+        # in sorted-key order (block_specification.hpp:78-99).
+        for key, size in sorted(param_counts):
             self.map[key] = (next_available, size)
             next_available += size
         self.insert_entire_key((0, next_available))

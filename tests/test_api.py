@@ -1,0 +1,189 @@
+"""API-surface tests ported from the reference's Python suite
+(test/test_libsbn.py) plus BlockSpecification and date-parsing doctests."""
+
+import json
+
+import numpy as np
+import pytest
+
+from libsbn_tpu import RootedInstance, UnrootedInstance
+from libsbn_tpu.core.topology import Topology
+from libsbn_tpu.core.tree import UnrootedTree, UnrootedTreeCollection
+from libsbn_tpu.models.block_specification import BlockSpecification
+from libsbn_tpu.models.phylo_model import PhyloModelSpec, parameters_from_flat
+
+DATA = "/root/reference/data"
+SIMPLE = PhyloModelSpec("JC69", "constant", "none")
+
+
+def test_hello_demo():
+    """Zero-copy branch length mutation changes likelihoods
+    (test_libsbn.py hello_demo)."""
+    inst = UnrootedInstance("charlie")
+    inst.tree_collection = UnrootedTreeCollection(
+        [UnrootedTree(Topology.of_parent_id_vector([3, 3, 3]), np.zeros(4))],
+        {(0, 1): "mars", (1, 1): "saturn", (2, 1): "jupiter"},
+    )
+    inst.read_fasta_file(f"{DATA}/hello.fasta")
+    inst.prepare_for_phylo_likelihood(SIMPLE, 2)
+    bl = inst.tree_collection.trees[0].branch_lengths
+    bl[:] = np.array([0.15, 0.1, 0.333, 0.24])
+    ll1 = inst.log_likelihoods()[0]
+    bl[0] = 0.2
+    ll2 = inst.log_likelihoods()[0]
+    assert ll1 != ll2
+    assert np.isfinite(ll1) and np.isfinite(ll2)
+
+
+def test_ds1_support_vs_vbpi(data_dir):
+    """Subsplit support matches vbpi's JSON (test_libsbn.py ds1_support_test)."""
+    inst = UnrootedInstance("DS1")
+    inst.read_nexus_file(f"{data_dir}/DS1.subsampled_10.t.reordered")
+    inst.process_loaded_trees()
+    rootsplit_support, subsplit_support = inst.split_counters()
+    with open(f"{data_dir}/DS1.subsampled_10.t_support.json") as f:
+        supports = json.load(f)
+    assert rootsplit_support.keys() == supports["rootsplit_supp_dict"].keys()
+    assert subsplit_support.keys() == supports["subsplit_supp_dict"].keys()
+
+
+def test_gtr_with_jc_parameters_matches_jc(data_dir):
+    """(test_libsbn.py ds1_phylo_model_demo)."""
+    inst = UnrootedInstance("DS1")
+    inst.read_nexus_file(f"{data_dir}/DS1.subsampled_10.t.reordered")
+    inst.read_fasta_file(f"{data_dir}/DS1.fasta")
+    inst.tree_collection.erase(1, 10)
+    inst.tree_collection.trees[0].branch_lengths[:] = 0.1
+
+    inst.prepare_for_phylo_likelihood(SIMPLE, 2)
+    jc69 = np.asarray(inst.log_likelihoods())
+
+    gtr_spec = PhyloModelSpec("GTR", "constant", "none")
+    inst.prepare_for_phylo_likelihood(gtr_spec, 2)
+    flat = np.concatenate([np.repeat(1.0 / 6, 6), np.repeat(0.25, 4)])
+    inst.set_phylo_model_params_from_flat(flat)
+    gtr = np.asarray(inst.log_likelihoods())
+    np.testing.assert_allclose(jc69, gtr, rtol=1e-10)
+
+
+def test_rootings_indexer(data_dir):
+    """All rootings of a tree give the same set-of-PCSPs representations
+    (test_libsbn.py rootings_indexer_test)."""
+    inst = UnrootedInstance("rootings")
+    inst.read_newick_file(f"{data_dir}/many_rootings.nwk")
+    inst.process_loaded_trees()
+    reps = [
+        sorted(
+            (rooted[0], frozenset(rooted[1:]))
+            for rooted in indexer_representation
+        )
+        for indexer_representation in inst.make_indexer_representations()
+    ]
+    for rep in reps[1:]:
+        assert reps[0] == rep
+
+
+def test_block_specification():
+    """(block_specification.hpp:78-99)."""
+    spec = BlockSpecification([("kazoo", 4), ("jordan", 23)])
+    assert spec.get_map() == {
+        "entire": (0, 27), "jordan": (0, 23), "kazoo": (23, 4)
+    }
+    spec.append(
+        "entire turbo and boost",
+        BlockSpecification([("boost", 42), ("turbo", 666)]),
+    )
+    assert spec.get_map() == {
+        "boost": (27, 42),
+        "entire": (0, 735),
+        "entire turbo and boost": (27, 708),
+        "jordan": (0, 23),
+        "kazoo": (23, 4),
+        "turbo": (69, 666),
+    }
+
+
+def test_parameters_from_flat_roundtrip():
+    spec = PhyloModelSpec("GTR", "weibull+4", "strict")
+    from libsbn_tpu.models.phylo_model import block_specification
+
+    bs = block_specification(spec)
+    flat = np.zeros(bs.parameter_count())
+    seg = bs.get_map()
+    flat[seg["GTR rates"][0] : seg["GTR rates"][0] + 6] = 1.0 / 6
+    flat[seg["frequencies"][0] : seg["frequencies"][0] + 4] = 0.25
+    flat[seg["Weibull shape"][0]] = 0.5
+    flat[seg["clock rate"][0]] = 2.0
+    params = parameters_from_flat(spec, flat)
+    np.testing.assert_allclose(params["substitution"]["rates"], 1.0 / 6)
+    np.testing.assert_allclose(params["substitution"]["frequencies"], 0.25)
+    assert float(params["site"]["shape"]) == 0.5
+    assert float(params["clock"]["rate"]) == 2.0
+
+
+def test_parsing_dates(data_dir):
+    """(rooted_sbn_instance.hpp 'parsing dates')."""
+    inst = RootedInstance("charlie")
+    inst.read_nexus_file(f"{data_dir}/test_beast_tree_parsing.nexus")
+    inst.parse_dates_from_taxon_names(True)
+    dates = sorted(inst.tree_collection.tag_date_map.values())
+    assert dates[0] == 0
+    assert dates[-1] == 80.0
+
+    alt = RootedInstance("betty")
+    alt.read_nexus_file(f"{data_dir}/test_beast_tree_parsing.nexus")
+    alt.tree_collection.parse_dates_from_csv(
+        f"{data_dir}/test_beast_tree_parsing.csv", True
+    )
+    assert inst.tree_collection.tag_date_map == alt.tree_collection.tag_date_map
+
+
+def test_tree_collection_ops(data_dir):
+    """erase/drop_first/newick round trip (generic_tree_collection.hpp)."""
+    inst = UnrootedInstance("x")
+    inst.read_nexus_file(f"{data_dir}/DS1.subsampled_10.t")
+    assert inst.tree_count() == 10
+    inst.tree_collection.drop_first(0.2)
+    assert inst.tree_count() == 8
+    inst.tree_collection.erase(0, 3)
+    assert inst.tree_count() == 5
+    newick_text = inst.tree_collection.newick()
+    assert newick_text.count(";") == 5
+
+
+def test_psp_split_lengths(data_dir):
+    """SplitLengths groups branch lengths by split (psp_indexer.cpp)."""
+    inst = UnrootedInstance("x")
+    inst.read_nexus_file(f"{data_dir}/DS1.subsampled_10.t")
+    inst.process_loaded_trees()
+    ragged = inst.split_lengths()
+    total = sum(len(r) for r in ragged)
+    # Every branch of every tree lands in exactly one split bucket.
+    n_branches = inst.tree_collection.trees[0].node_count() - 1
+    assert total == 10 * n_branches
+    assert all(all(x >= 0 for x in r) for r in ragged)
+
+
+def test_marginal_likelihood_estimate():
+    """Importance-sampling marginal likelihood is finite and below the best
+    log-likelihood (burrito.py marginal_likelihood_estimate)."""
+    from libsbn_tpu.models.phylo_model import PhyloModelSpec as Spec
+    from libsbn_tpu.vi.burrito import Burrito
+
+    burro = Burrito(
+        mcmc_nexus_path=f"{DATA}/hello_out.t",
+        burn_in_fraction=0,
+        fasta_path=f"{DATA}/hello.fasta",
+        phylo_model_specification=Spec("JC69", "constant", "strict"),
+        branch_model_name="split",
+        scalar_model_name="lognormal",
+        optimizer_name="simple",
+        particle_count=4,
+        seed=3,
+    )
+    burro.gradient_steps(20)
+    ml = burro.marginal_likelihood_estimate(200)
+    assert np.isfinite(ml)
+    # The marginal is bounded above by the max log likelihood over free
+    # branch lengths (~ -82.2 for hello).
+    assert ml < -82.0

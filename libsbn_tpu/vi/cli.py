@@ -14,7 +14,8 @@ def build_parser() -> argparse.ArgumentParser:
         "--branch-model", choices=["split", "psp"], default="split"
     )
     bench.add_argument(
-        "--scalar-model", choices=["lognormal"], default="lognormal"
+        "--scalar-model", choices=["lognormal", "tf_lognormal", "tf_gamma", "tf_truncated_lognormal"],
+        default="lognormal"
     )
     bench.add_argument("--optimizer", choices=["simple", "bump"], default="simple")
     bench.add_argument("--step-count", type=int, default=5)

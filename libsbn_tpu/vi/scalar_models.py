@@ -115,7 +115,220 @@ class LogNormalModel(ScalarModel):
         )
 
 
+class ADScalarModel(ScalarModel):
+    """Scalar models whose reparameterization gradients come from JAX AD —
+    the TPU-native replacement for the reference's TFP GradientTape wrappers
+    (scalar_model.py TFScalarModel). Subclasses define the sampler and log
+    density; sample_and_gradients differentiates them.
+
+    dg_dpsi and dlog_qg_dpsi follow the reference's conventions: per
+    (particle, variable, param), with dlog_qg the TOTAL derivative of
+    log q(g(eps, psi); psi)."""
+
+    initial_params: np.ndarray = None
+    name = "AD"
+
+    def __init__(self, variable_count: int, rng=None):
+        super().__init__(self.initial_params, variable_count)
+        self.rng = rng or np.random.default_rng(0)
+        import jax
+
+        self._key = jax.random.PRNGKey(int(self.rng.integers(0, 2**31)))
+
+    def _next_key(self, shape):
+        import jax
+
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    # Subclass API: _sample(key, psi) -> theta (elementwise in psi rows);
+    # _log_prob(theta, psi) -> elementwise log density.
+    def _sample(self, key, psi):
+        raise NotImplementedError
+
+    def _log_prob(self, theta, psi):
+        raise NotImplementedError
+
+    def mode_match(self, modes):
+        raise NotImplementedError
+
+    def sample(self, px_which_variables):
+        import jax.numpy as jnp
+
+        px = np.asarray(px_which_variables)
+        psi = jnp.asarray(self.q_params[px])  # (P, B, params)
+        key = self._next_key(px.shape)
+        return np.asarray(self._sample(key, psi))
+
+    def sample_all(self, particle_count: int):
+        import jax.numpy as jnp
+
+        psi = jnp.asarray(
+            np.broadcast_to(
+                self.q_params, (particle_count,) + self.q_params.shape
+            )
+        )
+        key = self._next_key(None)
+        return np.asarray(self._sample(key, psi))
+
+    def log_prob(self, values, which_variables):
+        import jax.numpy as jnp
+
+        psi = jnp.asarray(self.q_params[np.asarray(which_variables)])
+        return float(
+            np.sum(np.asarray(self._log_prob(jnp.asarray(values), psi)))
+        )
+
+    def sample_and_gradients(self, px_which_variables):
+        import jax
+        import jax.numpy as jnp
+
+        px = np.asarray(px_which_variables)
+        particle_count, width = px.shape
+        psi = jnp.asarray(self.q_params[px])  # (P, B, k)
+        key = self._next_key(px.shape)
+
+        theta = self._sample(key, psi)
+
+        # Each theta_i depends only on its own psi row (elementwise
+        # samplers), so d sum(theta)/d psi recovers the full Jacobian.
+        def sum_g(psi_):
+            return jnp.sum(self._sample(key, psi_))
+
+        dg = jax.grad(sum_g)(psi)  # (P, B, k)
+
+        def sum_logq(psi_):
+            th = self._sample(key, psi_)
+            return jnp.sum(self._log_prob(th, psi_))
+
+        dlogq = jax.grad(sum_logq)(psi)
+
+        k = self.param_count
+        dg_dpsi = np.zeros((particle_count, self.variable_count, k))
+        dlog_qg_dpsi = np.zeros((particle_count, self.variable_count, k))
+        rows = np.arange(particle_count)[:, None]
+        dg_dpsi[rows, px, :] = np.asarray(dg)
+        dlog_qg_dpsi[rows, px, :] = np.asarray(dlogq)
+        return np.asarray(theta), dg_dpsi, dlog_qg_dpsi
+
+
+class ADLogNormalModel(ADScalarModel):
+    """Log-normal via AD (cross-checks the hand-coded LogNormalModel)."""
+
+    initial_params = np.array([-2.0, 0.5])
+    name = "TFLogNormal"
+
+    def _sample(self, key, psi):
+        import jax
+
+        eps = jax.random.normal(key, psi.shape[:-1])
+        return jax.numpy.exp(psi[..., 0] + psi[..., 1] * eps)
+
+    def _log_prob(self, theta, psi):
+        import jax.numpy as jnp
+
+        mu, sigma = psi[..., 0], psi[..., 1]
+        lt = jnp.log(theta)
+        return (
+            -lt - jnp.log(sigma) - 0.5 * jnp.log(2 * jnp.pi)
+            - (lt - mu) ** 2 / (2 * sigma**2)
+        )
+
+    def mode_match(self, modes):
+        modes = np.asarray(modes)
+        log_modes = np.log(np.clip(modes, 1e-6, None))
+        biclipped = np.log(np.clip(modes, 1e-6, 1 - 1e-6))
+        self.q_params[:, 1] = -0.1 * biclipped
+        self.q_params[:, 0] = np.square(self.q_params[:, 1]) + log_modes
+
+
+class GammaModel(ADScalarModel):
+    """Gamma(concentration=e^a, rate=e^b) with implicit reparameterization
+    gradients via jax.random.gamma (scalar_model.py gamma_factory)."""
+
+    initial_params = np.array([1.3, 3.0])
+    name = "TFGamma"
+
+    def _sample(self, key, psi):
+        import jax
+
+        conc = jax.numpy.exp(psi[..., 0])
+        rate = jax.numpy.exp(psi[..., 1])
+        return jax.random.gamma(key, conc) / rate
+
+    def _log_prob(self, theta, psi):
+        import jax.numpy as jnp
+        from jax.scipy.special import gammaln
+
+        conc = jnp.exp(psi[..., 0])
+        rate = jnp.exp(psi[..., 1])
+        return (
+            conc * jnp.log(rate) - gammaln(conc)
+            + (conc - 1) * jnp.log(theta) - rate * theta
+        )
+
+    def mode_match(self, modes):
+        modes = np.asarray(modes)
+        biclipped = np.log(np.clip(modes, 1e-6, 1 - 1e-6))
+        self.q_params[:, 1] = np.log(-60.0 * biclipped)
+        self.q_params[:, 0] = np.log(1 + modes * self.q_params[:, 1])
+
+
+class TruncatedLogNormalModel(ADScalarModel):
+    """exp-shifted truncated normal (scalar_model.py
+    truncated_lognormal_factory): theta = exp(z) - exp(low) with
+    z ~ TruncatedNormal(loc, scale, low, 999); inverse-CDF
+    reparameterization keeps it differentiable."""
+
+    initial_params = np.array([-1.0, 0.5, 0.1])
+    name = "TFTruncatedLogNormal"
+    HIGH = 999.0
+
+    def _sample(self, key, psi):
+        import jax
+        import jax.numpy as jnp
+        from jax.scipy.special import ndtri
+        from jax.scipy.stats.norm import cdf as ndtr
+
+        loc, scale, low = psi[..., 0], psi[..., 1], psi[..., 2]
+        u = jax.random.uniform(
+            key, psi.shape[:-1], minval=1e-7, maxval=1 - 1e-7
+        )
+        a = ndtr((low - loc) / scale)
+        b = ndtr((self.HIGH - loc) / scale)
+        z = loc + scale * ndtri(a + u * (b - a))
+        return jnp.exp(z) - jnp.exp(low)
+
+    def _log_prob(self, theta, psi):
+        import jax.numpy as jnp
+        from jax.scipy.stats.norm import cdf as ndtr, logpdf
+
+        loc, scale, low = psi[..., 0], psi[..., 1], psi[..., 2]
+        x = theta + jnp.exp(low)  # invert the shift
+        z = jnp.log(x)
+        a = ndtr((low - loc) / scale)
+        b = ndtr((self.HIGH - loc) / scale)
+        # TruncatedNormal density in z, plus |dz/dtheta| = 1/x.
+        return (
+            logpdf(z, loc, scale) - jnp.log(b - a) - jnp.log(x)
+        )
+
+    def mode_match(self, modes):
+        modes = np.asarray(modes)
+        log_modes = np.log(np.clip(modes, 1e-6, None))
+        biclipped = np.log(np.clip(modes, 1e-6, 1 - 1e-6))
+        self.q_params[:, 1] = -0.1 * biclipped
+        self.q_params[:, 0] = np.square(self.q_params[:, 1]) + log_modes
+        self.q_params[:, 2] = -5.0
+
+
 def of_name(name: str, variable_count: int, rng=None) -> ScalarModel:
-    if name == "lognormal":
-        return LogNormalModel(variable_count, rng)
-    raise ValueError(f"Scalar model {name} not known.")
+    choices = {
+        "lognormal": LogNormalModel,
+        "tf_lognormal": ADLogNormalModel,
+        "tf_gamma": GammaModel,
+        "tf_truncated_lognormal": TruncatedLogNormalModel,
+    }
+    if name not in choices:
+        raise ValueError(f"Scalar model {name} not known.")
+    return choices[name](variable_count, rng)

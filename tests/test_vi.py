@@ -127,3 +127,52 @@ def test_gradient_steps_improve_elbo(branch_model_name):
     assert end > start - 5.0  # not diverging; usually improves
     ml = burro.marginal_likelihood_estimate(50)
     assert np.isfinite(ml)
+
+
+@pytest.mark.parametrize(
+    "name", ["tf_lognormal", "tf_gamma", "tf_truncated_lognormal"]
+)
+def test_ad_scalar_models(name):
+    """The AD scalar-model zoo (reference: TFScalarModel wrappers): samplers,
+    densities, and gradients are finite; the AD lognormal's gradients match
+    the hand-coded eq:dgdPsi/eq:dlogqgdPsi exactly."""
+    model = scalar_models.of_name(name, 3)
+    which = np.array([[0, 1, 2], [2, 1, 0]])
+    sample, dg, dq = model.sample_and_gradients(which)
+    assert sample.shape == (2, 3)
+    assert np.all(sample > 0)
+    assert np.isfinite(dg).all() and np.isfinite(dq).all()
+    assert np.isfinite(model.log_prob(sample[0], which[0]))
+    model.mode_match(np.array([0.1, 0.2, 0.05]))
+    assert np.isfinite(model.q_params).all()
+
+
+def test_ad_lognormal_matches_hand_coded():
+    params = np.array([[0.4, 1.3], [-2.0, 0.7], [3.0, 0.2]])
+    ad = scalar_models.of_name("tf_lognormal", 3)
+    ad.q_params[:] = params
+    hand = scalar_models.LogNormalModel(3)
+    hand.q_params[:] = params
+    which = np.array([[0, 1, 2]])
+    sample, dg, dq = ad.sample_and_gradients(which)
+    _, hand_dg, hand_dq = hand.sample_and_gradients(
+        which, prebaked_sample=sample
+    )
+    np.testing.assert_allclose(dg[0], hand_dg[0], rtol=1e-8)
+    np.testing.assert_allclose(dq[0], hand_dq[0], rtol=1e-8)
+
+
+def test_burrito_with_gamma_scalar_model():
+    burro = Burrito(
+        mcmc_nexus_path=f"{DATA}/hello_out.t",
+        burn_in_fraction=0,
+        fasta_path=f"{DATA}/hello.fasta",
+        phylo_model_specification=PhyloModelSpec("JC69", "constant", "strict"),
+        branch_model_name="split",
+        scalar_model_name="tf_gamma",
+        optimizer_name="simple",
+        particle_count=4,
+        seed=5,
+    )
+    burro.gradient_steps(10)
+    assert np.isfinite(burro.estimate_elbo(20))

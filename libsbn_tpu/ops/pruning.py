@@ -55,9 +55,15 @@ def node_transition_matrices(evec, ivec, evals, branch_lengths, rates):
 # -- forward (postorder) pass ----------------------------------------------
 def _postorder_m(post_node, post_children, P, tips, rescale: bool):
     """Compute node partials only. Returns (M, logscale):
-    M: (N+1, K, 4, Pp); logscale: (Pp,). The scan carries just M — the
-    per-edge evolved partials E are recomputed afterwards in one batched
-    einsum (_evolved_of), keeping the scan's memory traffic minimal."""
+    M: (N+1, K, 4, Pp); logscale: (Pp,).
+
+    Step s always writes node L+s (internal ids are postorder-linear by
+    construction — asserted at schedule build), so the buffer update is a
+    loop-linear dynamic-update-slice (in-place under XLA) instead of a
+    scatter; post_node is accepted for API compatibility but not consulted.
+    The scan carries just M — per-edge evolved partials E are recomputed
+    afterwards in one batched einsum (_evolved_of)."""
+    del post_node
     n_slots, K = P.shape[0], P.shape[1]
     L, _, n_pat = tips.shape
     dtype = P.dtype
@@ -66,9 +72,8 @@ def _postorder_m(post_node, post_children, P, tips, rescale: bool):
     M = M.at[:L].set(tips[:, None, :, :].astype(dtype))
     logscale = jnp.zeros((n_pat,), dtype=dtype)
 
-    def step(carry, xs):
-        M, logscale = carry
-        node, children = xs
+    def step(carry, children):
+        M, logscale, s = carry
         cm = M[children]  # (3, K, 4, Pp)
         cp = P[children]  # (3, K, 4, 4)
         ev = jnp.einsum("ckij,ckjp->ckip", cp, cm)
@@ -78,10 +83,10 @@ def _postorder_m(post_node, post_children, P, tips, rescale: bool):
             scale = jnp.where(scale > 0, scale, jnp.ones_like(scale))
             prod = prod / scale
             logscale = logscale + jnp.log(scale)
-        M = M.at[node].set(prod)
-        return (M, logscale), None
+        M = jax.lax.dynamic_update_slice(M, prod[None], (L + s, 0, 0, 0))
+        return (M, logscale, s + 1), None
 
-    (M, logscale), _ = jax.lax.scan(step, (M, logscale), (post_node, post_children))
+    (M, logscale, _), _ = jax.lax.scan(step, (M, logscale, 0), post_children)
     return M, logscale
 
 

@@ -45,6 +45,8 @@ class PruningSchedule:
     up_sibs: np.ndarray  # (S2, 2) sibling ids, padded with ones_slot
     # Parent of every non-root node (by node id): (N-1,).
     parent: np.ndarray
+    # Siblings of every non-root node (by node id), ones-slot padded: (N-1, 2).
+    node_sibs: np.ndarray
     # Internal non-root nodes in preorder (parents first), for the
     # height-ratio transform of rooted time trees (rooted_tree.hpp:19-24).
     pre_internal_node: np.ndarray  # (I,)
@@ -97,16 +99,25 @@ def schedule_of_topology(top: Topology) -> PruningSchedule:
             up_parent.append(node.id)
             up_sibs.append(sibs + [ones] * (2 - len(sibs)))
 
+    post_node_arr = np.asarray(post_node, dtype=np.int32)
+    # The pruning kernels rely on internal ids being postorder-linear
+    # (step s writes node leaf_count + s); polish guarantees this.
+    assert np.array_equal(
+        post_node_arr, np.arange(top.leaf_count, node_count, dtype=np.int32)
+    ), "internal node ids must be postorder-linear"
+    node_sibs = np.empty((node_count - 1, 2), dtype=np.int32)
+    node_sibs[np.asarray(up_node)] = np.asarray(up_sibs, dtype=np.int32)
     return PruningSchedule(
         node_count=node_count,
         leaf_count=top.leaf_count,
         root_id=top.id,
-        post_node=np.asarray(post_node, dtype=np.int32),
+        post_node=post_node_arr,
         post_children=np.asarray(post_children, dtype=np.int32),
         up_node=np.asarray(up_node, dtype=np.int32),
         up_parent=np.asarray(up_parent, dtype=np.int32),
         up_sibs=np.asarray(up_sibs, dtype=np.int32),
         parent=parent,
+        node_sibs=node_sibs,
         pre_internal_node=np.asarray(pre_internal_node, dtype=np.int32),
         pre_internal_parent=np.asarray(pre_internal_parent, dtype=np.int32),
     )
@@ -125,6 +136,7 @@ class BatchedSchedule:
     up_parent: np.ndarray  # (B, S2)
     up_sibs: np.ndarray  # (B, S2, 2)
     parent: np.ndarray  # (B, N-1)
+    node_sibs: np.ndarray  # (B, N-1, 2)
     pre_internal_node: np.ndarray  # (B, I)
     pre_internal_parent: np.ndarray  # (B, I)
 
@@ -154,6 +166,7 @@ def batch_schedules(schedules: Sequence[PruningSchedule]) -> BatchedSchedule:
         up_parent=np.stack([s.up_parent for s in schedules]),
         up_sibs=np.stack([s.up_sibs for s in schedules]),
         parent=np.stack([s.parent for s in schedules]),
+        node_sibs=np.stack([s.node_sibs for s in schedules]),
         pre_internal_node=np.stack([s.pre_internal_node for s in schedules]),
         pre_internal_parent=np.stack([s.pre_internal_parent for s in schedules]),
     )
@@ -192,6 +205,9 @@ def _native_batched(tops: Sequence[Topology]) -> "BatchedSchedule | None":
         return None
     # The parent vector IS the per-node parent array; the internal-node
     # preorder steps are the up steps whose destination is internal.
+    node_sibs = np.empty((len(tops), node_count - 1, 2), dtype=np.int32)
+    rows = np.arange(len(tops))[:, None]
+    node_sibs[rows, out["up_node"]] = out["up_sibs"]
     internal_mask = out["up_node"] >= leaf_count
     counts = internal_mask.sum(axis=1)
     if counts.size and not np.all(counts == counts[0]):
@@ -208,6 +224,7 @@ def _native_batched(tops: Sequence[Topology]) -> "BatchedSchedule | None":
         up_parent=out["up_parent"],
         up_sibs=out["up_sibs"],
         parent=pv,
+        node_sibs=node_sibs,
         pre_internal_node=pre_node,
         pre_internal_parent=pre_parent,
     )

@@ -173,6 +173,7 @@ class JitVBPI:
         self.particle_count = particle_count
         self.mesh = mesh
         self.rng = np.random.default_rng(seed)
+        self._artifact_cache = {}
         dtype = dtype or jnp.float64
         self.dtype = dtype
 
@@ -203,30 +204,51 @@ class JitVBPI:
             use_vimco=use_vimco,
         )
 
-    def _host_sample(self):
-        """Sample topologies and lower them to dense step inputs."""
+    def _topology_artifacts(self, top):
+        """Per-topology dense artifacts, cached: sampled topologies repeat
+        heavily once the SBN concentrates, so the Python lowering (schedule
+        rows, indexer representations, touched segments, PSP rows) is paid
+        once per distinct topology."""
         import numpy as np
 
         from ..ops import schedule as schedule_ops
         from ..sbn import gradients as sbn_gradients_mod
 
+        cached = self._artifact_cache.get(top)
+        if cached is not None:
+            return cached
+        sched = schedule_ops.schedule_of_topology(top)
+        branch_rep = np.asarray(
+            self.inst.psp_indexer.representation_of(top)[0], dtype=np.int32
+        )
+        rep = self.inst.sbn_support.dense_representations([top])[0]
+        touched = sbn_gradients_mod.touched_segments_of(
+            self.inst.sbn_support, rep[None],
+            pad_to=4 * self.inst.sbn_support.taxon_count(),
+        )[0]
+        artifacts = (sched, branch_rep, rep, touched)
+        self._artifact_cache[top] = artifacts
+        return artifacts
+
+    def _host_sample(self):
+        """Sample topologies and lower them to dense step inputs."""
+        import numpy as np
+
+        from ..ops import schedule as schedule_ops
+
         # Refresh the sampler with current SBN parameters.
         self.inst.sbn_parameters = np.asarray(self.state.sbn_params)
         self.inst._sampler = None
-        self.inst.sample_trees(self.particle_count)
-        tops = [t.topology for t in self.inst.tree_collection.trees]
-        sched = schedule_ops.schedules_of_topologies(tops)
-        branch_rep = self.inst.branch_rep_matrix = np.asarray(
-            [
-                self.inst.psp_indexer.representation_of(t)[0]
-                for t in tops
-            ],
-            dtype=np.int32,
-        )
-        reps = self.inst.sbn_support.dense_representations(tops)
-        touched = sbn_gradients_mod.touched_segments_of(
-            self.inst.sbn_support, reps, pad_to=4 * self.inst.sbn_support.taxon_count()
-        )
+        sampler = self.inst._get_sampler()
+        tops = [
+            sampler.sample_topology(rooted=False)
+            for _ in range(self.particle_count)
+        ]
+        artifacts = [self._topology_artifacts(t) for t in tops]
+        sched = schedule_ops.batch_schedules([a[0] for a in artifacts])
+        branch_rep = np.stack([a[1] for a in artifacts])
+        reps = np.stack([a[2] for a in artifacts])
+        touched = np.stack([a[3] for a in artifacts])
         eps = self.rng.standard_normal(branch_rep.shape)
         return sched, branch_rep, reps, touched, eps
 

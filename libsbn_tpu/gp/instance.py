@@ -213,6 +213,26 @@ class GPInstance:
             [t.topology for t in self.tree_collection.trees]
         )
 
+    def export_all_generated_trees(self, path: str):
+        """Write every DAG-spanned tree with GP branch lengths
+        (gp_instance ExportAllGeneratedTrees)."""
+        self.generate_complete_rooted_tree_collection().to_newick_file(path)
+
+    def load_all_generated_trees(self):
+        """Replace the loaded collection with all DAG-spanned trees."""
+        self.tree_collection = self.generate_complete_rooted_tree_collection()
+
+    def print_status(self):
+        eng = self.engine
+        print(
+            f"GPInstance: {self.tree_collection.tree_count() if self.tree_collection else 0} trees, "
+            f"{self.dag.node_count() if self.dag else 0} DAG nodes, "
+            f"{self.dag.gpcsp_count_with_fake() if self.dag else 0} GPCSPs"
+        )
+        if eng is not None:
+            plv_bytes = 6 * self.dag.node_count() * 4 * eng.patterns * 8
+            print(f"PLV arena: {plv_bytes / 1e9:.3f} GB (device/host resident)")
+
     def currently_loaded_trees_with_a_pcsp_string_and_gp_branch_lengths(
         self, pcsp_string: str
     ) -> RootedTreeCollection:

@@ -257,6 +257,14 @@ class GenericSBNInstance:
         return self.tree_collection.branch_length_matrix()
 
 
+    def print_status(self):
+        """Summary print (generic_sbn_instance.hpp PrintStatus)."""
+        tree_count = self.tree_count()
+        print(
+            f"{self.name} instance: {tree_count} trees, "
+            f"{self.sbn_support.gpcsp_count} GPCSPs in support"
+        )
+
     def string_indexer_representation_of(self, topology, out_of_sample_index=None):
         from ..sbn import maps
 

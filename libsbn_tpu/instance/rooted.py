@@ -55,6 +55,18 @@ class RootedInstance(GenericSBNInstance):
             t.rate_count = 1
 
     # -- likelihoods ---------------------------------------------------------
+    def unrooted_log_likelihoods(self) -> np.ndarray:
+        """Plain pruning likelihoods of the rooted trees' branch lengths,
+        without rate scaling or the height Jacobian
+        (RootedSBNInstance::UnrootedLogLikelihoods)."""
+        engine = self._get_engine()
+        sched = self._batched_schedule()
+        return np.asarray(
+            engine.log_likelihoods(
+                sched, self.branch_length_matrix(), self.phylo_model_params
+            )
+        )
+
     def log_likelihoods(self) -> np.ndarray:
         """LL + log-det-Jacobian of the height transform
         (fat_beagle.cpp LogLikelihood(RootedTree))."""

@@ -99,17 +99,26 @@ class LikelihoodEngine:
         )
 
     # -- unrooted/plain likelihoods ----------------------------------------
-    def log_likelihoods(self, sched: BatchedSchedule, branch_lengths, params):
-        """(B,) log likelihoods; branch_lengths: (B, N)."""
+    def log_likelihoods(
+        self, sched: BatchedSchedule, branch_lengths, params, per_tree=False
+    ):
+        """(B,) log likelihoods; branch_lengths: (B, N). With per_tree=True
+        every leaf of the params pytree carries a leading tree axis (the
+        reference's per-tree parameter matrix rows, fat_beagle.hpp:144)."""
         root_id = sched.root_id
 
         def build():
             def one(sched5, bl, params):
                 return self._tree_ll(sched5, root_id, self._pad(bl), params)
 
-            return jax.jit(jax.vmap(one, in_axes=((0, 0, 0, 0, 0), 0, None)))
+            return jax.jit(
+                jax.vmap(
+                    one,
+                    in_axes=((0, 0, 0, 0, 0), 0, 0 if per_tree else None),
+                )
+            )
 
-        fn = self._cached(("ll", root_id), build)
+        fn = self._cached(("ll", root_id, per_tree), build)
         return fn(
             self._sched5_b(sched), jnp.asarray(branch_lengths, self.dtype), params
         )

@@ -187,3 +187,32 @@ def test_marginal_likelihood_estimate():
     # The marginal is bounded above by the max log likelihood over free
     # branch lengths (~ -82.2 for hello).
     assert ml < -82.0
+
+
+def test_per_tree_parameters(data_dir):
+    """Per-tree phylo model parameters (the reference's param-matrix rows,
+    generic_sbn_instance.hpp:247-270)."""
+    import jax
+
+    from libsbn_tpu.core.site_pattern import SitePattern
+    from libsbn_tpu.io import newick
+    from libsbn_tpu.io.fasta import Alignment
+    from libsbn_tpu.models.engine import LikelihoodEngine
+    from libsbn_tpu.ops import schedule as schedule_ops
+
+    tops, bls, ttm = newick.parse_nexus_file(f"{data_dir}/DS1.subsampled_10.t")
+    sp = SitePattern(Alignment.read_fasta(f"{data_dir}/DS1.fasta"), ttm)
+    spec = PhyloModelSpec("JC69", "weibull+4", "strict")
+    engine = LikelihoodEngine(sp, spec)
+    sched = schedule_ops.schedules_of_topologies(tops)
+    bl = np.stack(bls)
+
+    shapes = np.linspace(0.3, 2.0, len(tops))
+    batched = {"site": {"shape": jax.numpy.asarray(shapes)}}
+    lls = np.asarray(
+        engine.log_likelihoods(sched, bl, batched, per_tree=True)
+    )
+    for i, shape in enumerate(shapes):
+        single = {"site": {"shape": jax.numpy.asarray(shape)}}
+        ll_i = np.asarray(engine.log_likelihoods(sched, bl, single))[i]
+        assert abs(lls[i] - ll_i) < 1e-9

@@ -104,7 +104,10 @@ def _postorder(post_node, post_children, P, tips, rescale: bool):
 # -- preorder (upper partial) pass -----------------------------------------
 def _preorder(up_node, up_parent, up_sibs, P, E, freqs, root_id, rescale: bool):
     """Upper partials U: U[root] = freqs; U[c] = (P_par^T U[par]) ⊙ Π E[sib].
-    Scale-free up to per-pattern factors that cancel in gradient ratios."""
+
+    Reference implementation, one step per non-root node; the production
+    path is _preorder_pernode below (identical results up to per-pattern
+    scale factors, which cancel in the gradient ratios)."""
     n_slots, K, _, n_pat = E.shape
     dtype = E.dtype
     U = jnp.zeros((n_slots, K, 4, n_pat), dtype=dtype)
@@ -124,6 +127,40 @@ def _preorder(up_node, up_parent, up_sibs, P, E, freqs, root_id, rescale: bool):
         return U.at[node].set(u), None
 
     U, _ = jax.lax.scan(step, U, (up_node, up_parent, up_sibs))
+    return U
+
+
+def _preorder_pernode(post_children, P, E, freqs, root_id, rescale: bool):
+    """Production upper-partial pass: one scan step per INTERNAL node in
+    reverse postorder (node root_id - i, a loop-linear read), computing the
+    shared evolved-up vector once and emitting all of that node's children
+    in one 3-row write — about half the sequential steps of _preorder.
+    Padded ones-slot children receive garbage rows that are never read (the
+    ones slot is outside every edge range)."""
+    n_slots, K, _, n_pat = E.shape
+    dtype = E.dtype
+    U = jnp.zeros((n_slots, K, 4, n_pat), dtype=dtype)
+    U = U.at[root_id].set(freqs[None, :, None].astype(dtype))
+    rev_children = post_children[::-1]  # step i handles node root_id - i
+
+    def step(carry, kids):
+        U, i = carry
+        node = root_id - i
+        pu = jax.lax.dynamic_index_in_dim(U, node, keepdims=False)  # (K,4,Pp)
+        pp = jax.lax.dynamic_index_in_dim(P, node, keepdims=False)  # (K,4,4)
+        evolved_up = jnp.einsum("kij,kip->kjp", pp, pu)
+        se = E[kids]  # (3, K, 4, Pp)
+        u0 = evolved_up * se[1] * se[2]
+        u1 = evolved_up * se[0] * se[2]
+        u2 = evolved_up * se[0] * se[1]
+        u = jnp.stack([u0, u1, u2])  # (3, K, 4, Pp)
+        if rescale:
+            scale = jnp.max(u, axis=(1, 2))  # (3, Pp)
+            scale = jnp.where(scale > 0, scale, jnp.ones_like(scale))
+            u = u / scale[:, None, None, :]
+        return (U.at[kids].set(u), i + 1), None
+
+    (U, _), _ = jax.lax.scan(step, (U, 0), rev_children)
     return U
 
 
@@ -168,7 +205,7 @@ def _ll_bwd(rescale, root_id, res, g):
     L = tips.shape[0]
     n_edges = root_id  # root has the largest id; every other node has an edge
 
-    U = _preorder(up_node, up_parent, up_sibs, P, E, freqs, root_id, rescale)
+    U = _preorder_pernode(post_children, P, E, freqs, root_id, rescale)
 
     Ue = U[:n_edges]  # (Ne, K, 4, Pp)
     Ee = E[:n_edges]
@@ -233,7 +270,7 @@ def log_likelihood_and_branch_gradient(
     site = _root_site_likelihoods(M, root_id, freqs, props)
     ll = jnp.sum(weights * (jnp.log(site) + logscale))
 
-    U = _preorder(up_node, up_parent, up_sibs, P, E, freqs, root_id, rescale)
+    U = _preorder_pernode(post_children, P, E, freqs, root_id, rescale)
     n_edges = root_id
     Ue, Ee = U[:n_edges], E[:n_edges]
     denom = jnp.einsum("k,ekip,ekip->ep", props, Ue, Ee)

@@ -213,6 +213,14 @@ class GPEngine:
             jnp.asarray(self.branch_lengths), jnp.asarray(self.q)
         )
         self.plvs = {k: np.asarray(v) for k, v in out.items()}
+        # PLV sanitization (the reference asserts finiteness per op,
+        # gp_engine.cpp:298-300).
+        for name in ("p", "r", "rtilde"):
+            if not np.isfinite(self.plvs[name]).all():
+                raise FloatingPointError(
+                    f"Non-finite values in GP PLV {name!r}; check branch "
+                    "lengths and SBN parameters."
+                )
 
     # -- likelihoods ---------------------------------------------------------
     def _likelihood_rows_impl(self, plvs, bl, q):

@@ -71,6 +71,15 @@ def get_lib():
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int32,
     ] + [ctypes.POINTER(ctypes.c_int32)] * 5
+    if hasattr(lib, "lsbn_sample_topologies"):
+        lib.lsbn_sample_topologies.restype = ctypes.c_int32
+        lib.lsbn_sample_topologies.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_uint64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
     _lib = lib
     return _lib
 
@@ -136,3 +145,29 @@ def build_schedules(parent_vectors: np.ndarray, n_leaves: int):
         "up_parent": up_parent,
         "up_sibs": up_sibs,
     }
+
+
+def sample_topologies(probs, root_tab, child_tab, n_taxa: int,
+                      n_samples: int, seed: int, rooted: bool):
+    """Sample SBN topologies natively; returns (n_samples, n_nodes-1) int32
+    canonical parent-id vectors or None if unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "lsbn_sample_topologies"):
+        return None
+    probs = np.ascontiguousarray(probs, dtype=np.float64)
+    root_tab = np.ascontiguousarray(root_tab, dtype=np.int32)
+    child_tab = np.ascontiguousarray(child_tab, dtype=np.int32)
+    n_nodes = 2 * n_taxa - 1 if rooted else 2 * n_taxa - 2
+    out = np.empty((n_samples, n_nodes - 1), dtype=np.int32)
+    rc = lib.lsbn_sample_topologies(
+        probs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        root_tab.shape[0],
+        root_tab.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        child_tab.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        child_tab.shape[0], n_taxa, n_samples,
+        ctypes.c_uint64(seed & (2**64 - 1)), int(rooted),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        return None
+    return out

@@ -54,6 +54,35 @@ def vimco_multiplicative_factors(log_f):
     return multiplicative_factors(log_f) - per_sample_signal
 
 
+def _touched_tables(support: SBNSupport):
+    """Per-index touched-segment lookup tables, cached on the support.
+
+    A rep entry touches a fixed set of segments determined by the index
+    alone: the rootsplit index s touches the segments of the ordered parents
+    (root + ~root, ~root + root); a PCSP index touches the segments of its
+    child subsplit in both orientations (GetSubsplitRanges). Absent parents
+    map to the dummy segment id (= num_segments)."""
+    cached = getattr(support, "_touched_tables_cache", None)
+    if cached is not None:
+        return cached
+    seg_of_parent = {
+        parent: s for s, parent in enumerate(support.parent_to_range, start=1)
+    }
+    num_segments = len(seg_of_parent) + 1
+    rs_count = support.rootsplit_count()
+    root_tab = np.full((rs_count, 2), num_segments, dtype=np.int32)
+    for s, root in enumerate(support.rootsplits):
+        for k, parent in enumerate((root + ~root, (~root) + root)):
+            root_tab[s, k] = seg_of_parent.get(parent, num_segments)
+    child_tab = np.full((support.gpcsp_count, 2), num_segments, dtype=np.int32)
+    for idx, child in support.index_to_child.items():
+        for k, parent in enumerate((child, child.rotate_subsplit())):
+            child_tab[idx, k] = seg_of_parent.get(parent, num_segments)
+    cached = (num_segments, root_tab, child_tab)
+    object.__setattr__(support, "_touched_tables_cache", cached)
+    return cached
+
+
 def touched_segments_of(
     support: SBNSupport, reps: np.ndarray, pad_to: int | None = None
 ) -> np.ndarray:
@@ -61,36 +90,33 @@ def touched_segments_of(
 
     reps: (..., E, R) int32 dense unrooted representations.
     Returns (..., E, Smax) int32 padded with the dummy segment id S
-    (= num_segments)."""
-    seg_of_parent = {
-        parent: s for s, parent in enumerate(support.parent_to_range, start=1)
-    }
-    num_segments = len(seg_of_parent) + 1
+    (= num_segments). Vectorized as gathers into precomputed per-index
+    tables (_touched_tables); out-of-support rootings yield all-dummy rows."""
+    num_segments, root_tab, child_tab = _touched_tables(support)
     sentinel = support.gpcsp_count
 
     flat = reps.reshape(-1, reps.shape[-1])
-    rows: List[List[int]] = []
-    for rep in flat:
-        if np.any(rep >= sentinel):
-            rows.append([])
-            continue
-        segs = [0]
-        root = support.rootsplits[rep[0]]
-        for parent in (root + ~root, (~root) + root):
-            s = seg_of_parent.get(parent)
-            if s is not None:
-                segs.append(s)
-        for idx in rep[1:]:
-            child = support.index_to_child[int(idx)]
-            for parent in (child, child.rotate_subsplit()):
-                s = seg_of_parent.get(parent)
-                if s is not None:
-                    segs.append(s)
-        rows.append(segs)
-    width = pad_to if pad_to is not None else max((len(r) for r in rows), default=1)
-    out = np.full((len(rows), width), num_segments, dtype=np.int32)
-    for i, r in enumerate(rows):
-        out[i, : len(r)] = r
+    R = flat.shape[1]
+    valid = ~(flat >= sentinel).any(axis=1)
+    safe = np.where(valid[:, None], flat, 0)
+    cols = np.concatenate(
+        [
+            np.zeros((flat.shape[0], 1), dtype=np.int32),  # rootsplit segment
+            root_tab[safe[:, 0]],
+            child_tab[safe[:, 1:]].reshape(flat.shape[0], 2 * (R - 1)),
+        ],
+        axis=1,
+    )
+    cols = np.where(valid[:, None], cols, num_segments)
+    width = pad_to if pad_to is not None else cols.shape[1]
+    if width < cols.shape[1]:
+        used = int((cols != num_segments).sum(axis=1).max(initial=0))
+        assert used <= width, "pad_to too small for touched segments"
+        # Compact non-dummy entries left before truncating.
+        order = np.argsort(cols == num_segments, axis=1, kind="stable")
+        cols = np.take_along_axis(cols, order, axis=1)[:, :width]
+    out = np.full((flat.shape[0], width), num_segments, dtype=np.int32)
+    out[:, : cols.shape[1]] = cols
     return out.reshape(reps.shape[:-1] + (width,))
 
 

@@ -73,3 +73,100 @@ class SBNSampler:
         return Topology.join2(
             process(parent_subsplit), process(parent_subsplit.rotate_subsplit())
         )
+
+
+# -- native bulk sampler ------------------------------------------------------
+
+
+def build_sampler_tables(support: SBNSupport):
+    """Lower the support's bitset recursion into the dense int32 tables the
+    native sampler consumes (native/libsbn_native.cpp lsbn_sample_topologies).
+
+    Row layout (both tables): [leaf1, r1s, r1e, leaf2, r2s, r2e] where side 1
+    is ``process(parent)`` and side 2 is ``process(parent.rotate_subsplit())``
+    of the recursion above; leafK >= 0 marks a leaf, otherwise [rKs, rKe) is
+    the categorical range. Returns (root_tab, child_tab) or None if any
+    reachable parent is missing from parent_to_range (degenerate support)."""
+
+    def side_entry(parent):
+        focal = parent.subsplit_chunk(1)
+        singleton = focal.singleton_option()
+        if singleton is not None:
+            return (singleton, -1, -1)
+        rng = support.parent_to_range.get(parent)
+        if rng is None:
+            return None
+        return (-1, rng[0], rng[1])
+
+    def row_of(subsplit):
+        side1 = side_entry(subsplit)
+        side2 = side_entry(subsplit.rotate_subsplit())
+        if side1 is None or side2 is None:
+            return None
+        return side1 + side2
+
+    rs_count = support.rootsplit_count()
+    root_tab = np.empty((rs_count, 6), dtype=np.int32)
+    for s, rootsplit in enumerate(support.rootsplits):
+        row = row_of(rootsplit + ~rootsplit)
+        if row is None:
+            return None
+        root_tab[s] = row
+    child_tab = np.full((support.gpcsp_count, 6), -1, dtype=np.int32)
+    for index, child in support.index_to_child.items():
+        row = row_of(child)
+        if row is None:
+            return None
+        child_tab[index] = row
+    return root_tab, child_tab
+
+
+def normalized_range_probs(support: SBNSupport, sbn_parameters) -> np.ndarray:
+    """Linear probabilities normalized within each sibling block (the
+    rootsplit block plus every parent_to_range segment). Vectorized as
+    segment max/sum scatters over segment_ids."""
+    params = np.asarray(sbn_parameters, dtype=np.float64)
+    seg = getattr(support, "_segment_ids_cache", None)
+    if seg is None:
+        seg = support.segment_ids()
+        object.__setattr__(support, "_segment_ids_cache", seg)
+    num_segments = int(seg.max(initial=0)) + 1
+    m = np.full(num_segments, -np.inf)
+    np.maximum.at(m, seg, params)
+    p = np.exp(params - m[seg])
+    sums = np.zeros(num_segments)
+    np.add.at(sums, seg, p)
+    return p / sums[seg]
+
+
+class NativeSBNSampler:
+    """Bulk ancestral sampling through the C++ core. Produces canonical
+    polished parent-id vectors (same form as Topology.parent_id_vector after
+    polish/deroot), suitable as artifact-cache keys without constructing
+    Python topologies. Falls back to None when the native library or the
+    tables are unavailable."""
+
+    def __init__(self, support: SBNSupport, sbn_parameters, seed: int = 0):
+        self.support = support
+        self.tables = build_sampler_tables(support)
+        self.rng = np.random.default_rng(seed)
+        self.refresh_parameters(sbn_parameters)
+
+    def set_seed(self, seed: int):
+        self.rng = np.random.default_rng(seed)
+
+    def refresh_parameters(self, sbn_parameters):
+        if self.tables is not None:
+            self.probs = normalized_range_probs(self.support, sbn_parameters)
+
+    def sample_parent_vectors(self, count: int, rooted: bool):
+        """(count, n_nodes - 1) int32 parent vectors, or None."""
+        if self.tables is None:
+            return None
+        from ..io import native
+
+        root_tab, child_tab = self.tables
+        return native.sample_topologies(
+            self.probs, root_tab, child_tab, self.support.taxon_count(),
+            count, int(self.rng.integers(2**63)), rooted,
+        )

@@ -204,19 +204,28 @@ class JitVBPI:
             use_vimco=use_vimco,
         )
 
-    def _topology_artifacts(self, top):
+    def _topology_artifacts(self, key, top=None):
         """Per-topology dense artifacts, cached: sampled topologies repeat
         heavily once the SBN concentrates, so the Python lowering (schedule
         rows, indexer representations, touched segments, PSP rows) is paid
-        once per distinct topology."""
+        once per distinct topology.
+
+        ``key`` is either the Topology itself (Python-sampler path) or the
+        tuple of its canonical parent-id vector (native-sampler path, so a
+        cache hit never constructs a Python Topology at all)."""
         import numpy as np
 
+        from ..core.topology import Topology
         from ..ops import schedule as schedule_ops
         from ..sbn import gradients as sbn_gradients_mod
 
-        cached = self._artifact_cache.get(top)
+        cached = self._artifact_cache.get(key)
         if cached is not None:
             return cached
+        if top is None:
+            top = key if isinstance(key, Topology) else (
+                Topology.of_parent_id_vector(list(key))
+            )
         sched = schedule_ops.schedule_of_topology(top)
         branch_rep = np.asarray(
             self.inst.psp_indexer.representation_of(top)[0], dtype=np.int32
@@ -227,8 +236,18 @@ class JitVBPI:
             pad_to=4 * self.inst.sbn_support.taxon_count(),
         )[0]
         artifacts = (sched, branch_rep, rep, touched)
-        self._artifact_cache[top] = artifacts
+        self._artifact_cache[key] = artifacts
         return artifacts
+
+    def _get_native_sampler(self):
+        if not hasattr(self, "_native_sampler"):
+            from ..sbn.sampling import NativeSBNSampler
+
+            self._native_sampler = NativeSBNSampler(
+                self.inst.sbn_support, self.state.sbn_params,
+                seed=int(self.rng.integers(2**31)),
+            )
+        return self._native_sampler
 
     def _host_sample(self):
         """Sample topologies and lower them to dense step inputs."""
@@ -236,15 +255,27 @@ class JitVBPI:
 
         from ..ops import schedule as schedule_ops
 
-        # Refresh the sampler with current SBN parameters.
+        # Refresh the sampler with current SBN parameters. Prefer the native
+        # bulk sampler: it emits canonical parent-id vectors that key the
+        # artifact cache directly (sbn/sampling.py NativeSBNSampler).
         self.inst.sbn_parameters = np.asarray(self.state.sbn_params)
-        self.inst._sampler = None
-        sampler = self.inst._get_sampler()
-        tops = [
-            sampler.sample_topology(rooted=False)
-            for _ in range(self.particle_count)
-        ]
-        artifacts = [self._topology_artifacts(t) for t in tops]
+        native_sampler = self._get_native_sampler()
+        native_sampler.refresh_parameters(self.inst.sbn_parameters)
+        pvs = native_sampler.sample_parent_vectors(
+            self.particle_count, rooted=False
+        )
+        if pvs is not None:
+            artifacts = [
+                self._topology_artifacts(tuple(map(int, row))) for row in pvs
+            ]
+        else:
+            self.inst._sampler = None
+            sampler = self.inst._get_sampler()
+            tops = [
+                sampler.sample_topology(rooted=False)
+                for _ in range(self.particle_count)
+            ]
+            artifacts = [self._topology_artifacts(t) for t in tops]
         sched = schedule_ops.batch_schedules([a[0] for a in artifacts])
         branch_rep = np.stack([a[1] for a in artifacts])
         reps = np.stack([a[2] for a in artifacts])

@@ -249,6 +249,9 @@ void PolishAndEmit(TreeArena* arena, int n_taxa, std::vector<int32_t>* parents,
   parents->assign(n_nodes - 1, -1);
   bls->assign(n_nodes, 0.0);
   for (const auto& node : arena->nodes) {
+    // Nodes not reachable from the root (e.g. orphaned by the sampler's
+    // deroot) keep id == -1 and are skipped.
+    if (node.id < 0) continue;
     (*bls)[node.id] = node.bl;
     for (const int child : node.children) {
       (*parents)[arena->nodes[child].id] = node.id;
@@ -552,6 +555,159 @@ int32_t lsbn_build_schedules(const int32_t* parent_vectors, int32_t n_trees,
       }
     }
     if (up != n_nodes - 1) return 4;
+  }
+  return 0;
+}
+
+}  // extern "C"
+
+// -- SBN topology sampling --------------------------------------------------
+// Ancestral sampling from a trained SBN, replacing the Python recursion in
+// sbn/sampling.py (reference: generic_sbn_instance.hpp SampleTopology). The
+// support's bitset recursion is pre-lowered on the Python side to dense
+// integer tables (sbn/sampling.py build_sampler_tables): each entry (a
+// rootsplit or a gpcsp index) has two sides, and each side is either a leaf
+// (leaf >= 0) or a categorical range [start, end) over `probs` (normalized
+// per sibling block). Sampled trees are optionally derooted (node.cpp
+// Node::Deroot semantics) and emitted as canonical polished parent-id
+// vectors via the same PolishAndEmit as the parser, so the output rows can
+// key artifact caches directly.
+
+namespace {
+
+struct SplitMix64 {
+  uint64_t s;
+  uint64_t next() {
+    uint64_t z = (s += 0x9e3779b97f4a7c15ULL);
+    z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ULL;
+    z = (z ^ (z >> 27)) * 0x94d049bb133111ebULL;
+    return z ^ (z >> 31);
+  }
+  double uniform() { return (next() >> 11) * (1.0 / 9007199254740992.0); }
+};
+
+struct SbnSampler {
+  const double* probs;
+  const int32_t* root_tab;   // (rs_count, 6): leaf1,r1s,r1e,leaf2,r2s,r2e
+  const int32_t* child_tab;  // (g_count, 6)
+  int32_t rs_count = 0;
+  int32_t g_count = 0;
+  SplitMix64 rng;
+  TreeArena* arena = nullptr;
+  bool ok = true;
+
+  int32_t sample_range(int32_t start, int32_t end) {
+    const double u = rng.uniform();
+    double c = 0.0;
+    for (int32_t k = start; k < end; ++k) {
+      c += probs[k];
+      if (u < c) return k;
+    }
+    return end - 1;
+  }
+
+  int make_leaf(int32_t taxon) {
+    ParseNode n;
+    n.leaf_id = taxon;
+    n.max_leaf = taxon;
+    arena->nodes.push_back(std::move(n));
+    return static_cast<int>(arena->nodes.size()) - 1;
+  }
+
+  int join2(int a, int b) {
+    if (arena->nodes[a].max_leaf > arena->nodes[b].max_leaf) std::swap(a, b);
+    ParseNode n;
+    n.children = {a, b};
+    n.max_leaf = arena->nodes[b].max_leaf;
+    arena->nodes.push_back(std::move(n));
+    return static_cast<int>(arena->nodes.size()) - 1;
+  }
+
+  int build_side(const int32_t* row, int side) {
+    const int32_t leaf = row[side * 3 + 0];
+    if (leaf >= 0) return make_leaf(leaf);
+    const int32_t start = row[side * 3 + 1];
+    const int32_t end = row[side * 3 + 2];
+    if (start < 0 || start >= end || end > g_count) {
+      ok = false;
+      return make_leaf(0);
+    }
+    const int32_t j = sample_range(start, end);
+    return build_entry(child_tab + static_cast<size_t>(j) * 6);
+  }
+
+  int build_entry(const int32_t* row) {
+    const int left = build_side(row, 0);
+    const int right = build_side(row, 1);
+    return join2(left, right);
+  }
+
+  int sample_tree(bool rooted) {
+    const int32_t s = sample_range(0, rs_count);
+    int root = build_entry(root_tab + static_cast<size_t>(s) * 6);
+    if (rooted) return root;
+    // Deroot: merge the root's non-leaf child's children with the other
+    // child and re-canonicalize (core/topology.py deroot).
+    const int c0 = arena->nodes[root].children[0];
+    const int c1 = arena->nodes[root].children[1];
+    int other, has_desc;
+    if (arena->nodes[c1].children.empty()) {
+      other = c1;
+      has_desc = c0;
+    } else {
+      other = c0;
+      has_desc = c1;
+    }
+    if (arena->nodes[has_desc].children.empty()) {
+      ok = false;  // < 3 taxa
+      return root;
+    }
+    std::vector<int> kids = arena->nodes[has_desc].children;
+    kids.push_back(other);
+    std::sort(kids.begin(), kids.end(), [this](int a, int b) {
+      return arena->nodes[a].max_leaf < arena->nodes[b].max_leaf;
+    });
+    ParseNode n;
+    n.children = std::move(kids);
+    n.max_leaf = arena->nodes[n.children.back()].max_leaf;
+    arena->nodes.push_back(std::move(n));
+    return static_cast<int>(arena->nodes.size()) - 1;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success. out_parents is caller-allocated
+// (n_samples, n_nodes - 1) with n_nodes = 2*n_taxa-1 (rooted) or 2*n_taxa-2.
+int32_t lsbn_sample_topologies(const double* probs, int32_t rs_count,
+                               const int32_t* root_tab,
+                               const int32_t* child_tab, int32_t g_count,
+                               int32_t n_taxa, int32_t n_samples,
+                               uint64_t seed, int32_t rooted,
+                               int32_t* out_parents) {
+  if (rs_count <= 0 || n_taxa < (rooted ? 2 : 3)) return 1;
+  const int32_t n_nodes = rooted ? 2 * n_taxa - 1 : 2 * n_taxa - 2;
+  TreeArena arena;
+  SbnSampler sampler;
+  sampler.probs = probs;
+  sampler.root_tab = root_tab;
+  sampler.child_tab = child_tab;
+  sampler.rs_count = rs_count;
+  sampler.g_count = g_count;
+  sampler.rng = SplitMix64{seed};
+  sampler.arena = &arena;
+  std::vector<int32_t> parents;
+  std::vector<double> bls;
+  for (int32_t t = 0; t < n_samples; ++t) {
+    arena.nodes.clear();
+    arena.root = sampler.sample_tree(rooted != 0);
+    if (!sampler.ok) return 2;
+    PolishAndEmit(&arena, n_taxa, &parents, &bls);
+    if (static_cast<int32_t>(parents.size()) != n_nodes - 1) return 3;
+    std::memcpy(out_parents + static_cast<size_t>(t) * (n_nodes - 1),
+                parents.data(), sizeof(int32_t) * (n_nodes - 1));
   }
   return 0;
 }

@@ -122,3 +122,72 @@ def test_native_schedule_likelihood_equivalence(lib, data_dir):
     ll_p, g_p = engine.branch_gradients(sched_python, bl, params)
     np.testing.assert_allclose(ll_n, ll_p, rtol=0, atol=1e-9)
     np.testing.assert_allclose(g_n, g_p, rtol=1e-9, atol=1e-9)
+
+
+def test_native_sampler_matches_python_distribution(lib, data_dir):
+    """Native SBN sampler: canonical parent vectors, in-support samples, and
+    an empirical distribution matching the Python sampler
+    (sbn/sampling.py NativeSBNSampler vs SBNSampler)."""
+    from collections import Counter
+
+    from libsbn_tpu import UnrootedInstance
+    from libsbn_tpu.sbn import sampling
+
+    inst = UnrootedInstance("DS1")
+    inst.read_nexus_file(f"{data_dir}/DS1.subsampled_10.t")
+    inst.process_loaded_trees()
+    inst.train_simple_average()
+    sup = inst.sbn_support
+
+    ns = sampling.NativeSBNSampler(sup, inst.sbn_parameters, seed=5)
+    assert ns.tables is not None
+    pv = ns.sample_parent_vectors(400, rooted=False)
+    assert pv is not None and pv.shape == (400, 2 * sup.taxon_count() - 3)
+    for row in pv[:50]:
+        top = Topology.of_parent_id_vector(list(map(int, row)))
+        # Canonical fixed point: the emitted vector IS the polished form.
+        assert top.parent_id_vector() == list(map(int, row))
+        # In support: every rooting indexes below the sentinel.
+        rep = sup.dense_representations([top])[0]
+        assert (rep < sup.gpcsp_count).all()
+
+    # Rooted sampling produces one extra node.
+    pvr = ns.sample_parent_vectors(10, rooted=True)
+    assert pvr is not None and pvr.shape == (10, 2 * sup.taxon_count() - 2)
+
+    # Empirical frequencies track the Python sampler (loose 3-sigma-ish gate
+    # on the most common topology, p ~ 0.03 at n = 4000).
+    n = 4000
+    cnt = Counter(tuple(map(int, r)) for r in ns.sample_parent_vectors(n, False))
+    ps = sampling.SBNSampler(sup, inst.sbn_parameters, seed=5)
+    cnt_py = Counter(
+        tuple(ps.sample_topology(rooted=False).parent_id_vector())
+        for _ in range(1000)
+    )
+    (key, c), = cnt.most_common(1)
+    f_native = c / n
+    f_py = cnt_py.get(key, 0) / 1000
+    assert abs(f_native - f_py) < 0.03
+
+
+def test_normalized_range_probs_matches_loop(lib, data_dir):
+    """Vectorized per-block normalization equals the per-range loop."""
+    from libsbn_tpu import UnrootedInstance
+    from libsbn_tpu.sbn import sampling
+
+    inst = UnrootedInstance("DS1")
+    inst.read_nexus_file(f"{data_dir}/DS1.subsampled_10.t")
+    inst.process_loaded_trees()
+    inst.train_simple_average()
+    sup = inst.sbn_support
+    params = np.asarray(inst.sbn_parameters) + np.random.default_rng(
+        0
+    ).normal(size=sup.gpcsp_count)
+    probs = sampling.normalized_range_probs(sup, params)
+    ref = np.zeros_like(probs)
+    ranges = [(0, sup.rootsplit_count())] + list(sup.parent_to_range.values())
+    for start, end in ranges:
+        seg = params[start:end]
+        p = np.exp(seg - seg.max())
+        ref[start:end] = p / p.sum()
+    np.testing.assert_allclose(probs, ref, atol=1e-15)

@@ -87,59 +87,96 @@ class GPEngine:
         self.e_gpcsp = np.asarray([e[3] for e in edges], dtype=np.int32)
         self.plvs: Dict[str, np.ndarray] = {}
         self.logscale: Dict[str, np.ndarray] = {}
+        self._build_level_tensors()
         self._populate_jit = jax.jit(self._populate_impl)
         self._rows_jit = jax.jit(self._likelihood_rows_impl)
         self._optimize_jit = jax.jit(self._optimize_impl)
 
     # -- PLV population ------------------------------------------------------
+    def _build_level_tensors(self):
+        """Pad the per-level edge groups to uniform widths so PLV population
+        compiles as TWO lax.scan bodies instead of an unrolled per-level
+        graph (the unrolled form took minutes of XLA compile on TPU for
+        deep DAGs). Padding protocol: parent/child pad to the trash node N,
+        gpcsp pads to the sentinel index E (q_ext[E] = 0, so padded edges
+        contribute exactly zero); node lists pad to N."""
+        N = self.dag.node_count()
+        E = self.dag.gpcsp_count_with_fake()
+        trash, sent = N, E
+
+        def pack(rows, pad_val):
+            width = max((len(r) for r in rows), default=0) or 1
+            out = np.full((len(rows), width), pad_val, dtype=np.int32)
+            for i, r in enumerate(rows):
+                out[i, : len(r)] = r
+            return out
+
+        rw = self.rootward_levels
+        tensors = []
+        for rot in (False, True):
+            sels = [level["rotated"] == rot for level in rw]
+            tensors.append(pack(
+                [l["parent"][s] for l, s in zip(rw, sels)], trash))
+            tensors.append(pack(
+                [l["child"][s] for l, s in zip(rw, sels)], trash))
+            tensors.append(pack(
+                [l["gpcsp"][s] for l, s in zip(rw, sels)], sent))
+        tensors.append(pack([np.unique(l["parent"]) for l in rw], trash))
+        self._rw_xs = tuple(jnp.asarray(t) for t in tensors)
+
+        lw = self.leafward_levels
+        self._lw_xs = (
+            jnp.asarray(pack([l["parent"] for l in lw], trash)),
+            jnp.asarray(pack([l["child"] for l in lw], trash)),
+            jnp.asarray(pack([l["gpcsp"] for l in lw], sent)),
+            jnp.asarray(pack(
+                [l["rotated"].astype(np.int32) for l in lw], 0).astype(bool)),
+            jnp.asarray(pack([np.unique(l["child"]) for l in lw], trash)),
+        )
+
     def _populate_impl(self, bl, q):
         N = self.dag.node_count()
         L = self.dag.taxon_count
         S = self.patterns
         tips = jnp.asarray(self.tips)
+        # One trash row (index N) absorbs padded-edge scatters; one sentinel
+        # q/bl slot (index E) zeroes padded-edge contributions.
+        q_ext = jnp.concatenate([q, jnp.zeros((1,), q.dtype)])
+        bl_ext = jnp.concatenate([bl, jnp.zeros((1,), bl.dtype)])
 
-        p = jnp.zeros((N, 4, S)).at[:L].set(tips)
-        ls_p = jnp.zeros(N)
-        phat = jnp.zeros((N, 4, S))
-        phattilde = jnp.zeros((N, 4, S))
-        ls_phat = jnp.zeros(N)
-        ls_phattilde = jnp.zeros(N)
+        p = jnp.zeros((N + 1, 4, S)).at[:L].set(tips)
+        ls_p = jnp.zeros(N + 1)
+        phat = jnp.zeros((N + 1, 4, S))
+        phattilde = jnp.zeros((N + 1, 4, S))
+        ls_phat = jnp.zeros(N + 1)
+        ls_phattilde = jnp.zeros(N + 1)
 
-        # Rootward: accumulate phat per level; parents complete per level.
-        for level in self.rootward_levels:
-            parents_here = np.unique(level["parent"])
-            for rot in (False, True):
-                sel = level["rotated"] == rot
-                if not sel.any():
-                    continue
-                pa = jnp.asarray(level["parent"][sel])
-                ch = jnp.asarray(level["child"][sel])
-                g = jnp.asarray(level["gpcsp"][sel])
-                P = _jc69_transition(bl[g])
-                contrib = q[g][:, None, None] * jnp.einsum(
-                    "eij,ejs->eis", P, p[ch]
-                )
-                # Align scales: dest scale = min over in-edges of child scale.
-                m = (
-                    jnp.full((N,), np.inf).at[pa].min(ls_p[ch])
-                )
-                factor = jnp.exp(ls_p[ch] - m[pa])
-                acc = (
-                    jnp.zeros((N, 4, S))
-                    .at[pa]
-                    .add(contrib * factor[:, None, None])
-                )
-                if rot:
-                    phattilde = phattilde + acc
-                    ls_phattilde = ls_phattilde.at[jnp.asarray(parents_here)].set(
-                        m[jnp.asarray(parents_here)]
-                    )
-                else:
-                    phat = phat + acc
-                    ls_phat = ls_phat.at[jnp.asarray(parents_here)].set(
-                        m[jnp.asarray(parents_here)]
-                    )
-            nh = jnp.asarray(parents_here)
+        def side(pa, ch, g, buf, ls_buf, nh, p, ls_p):
+            """One rot-group of one rootward level: evolve children along
+            their edges, align scales (dest scale = min over in-edge child
+            scales) and accumulate into the parent's phat buffer."""
+            P = _jc69_transition(bl_ext[g])
+            contrib = q_ext[g][:, None, None] * jnp.einsum(
+                "eij,ejs->eis", P, p[ch]
+            )
+            m = jnp.full((N + 1,), np.inf).at[pa].min(ls_p[ch])
+            factor = jnp.exp(ls_p[ch] - m[pa])
+            buf = buf.at[pa].add(contrib * factor[:, None, None])
+            # A level with no edges of this orientation leaves the parents'
+            # scale untouched (m would be +inf there).
+            m_nh = m[nh]
+            ls_buf = ls_buf.at[nh].set(
+                jnp.where(jnp.isfinite(m_nh), m_nh, ls_buf[nh])
+            )
+            return buf, ls_buf
+
+        def rw_body(carry, xs):
+            p, ls_p, phat, phattilde, ls_phat, ls_phattilde = carry
+            pa0, ch0, g0, pa1, ch1, g1, nh = xs
+            phat, ls_phat = side(pa0, ch0, g0, phat, ls_phat, nh, p, ls_p)
+            phattilde, ls_phattilde = side(
+                pa1, ch1, g1, phattilde, ls_phattilde, nh, p, ls_p
+            )
             new_p = phat[nh] * phattilde[nh]
             mx = jnp.max(new_p, axis=(1, 2))
             mx = jnp.where(mx > 0, mx, 1.0)
@@ -147,21 +184,30 @@ class GPEngine:
             ls_p = ls_p.at[nh].set(
                 ls_phat[nh] + ls_phattilde[nh] + jnp.log(mx)
             )
+            return (p, ls_p, phat, phattilde, ls_phat, ls_phattilde), None
+
+        if len(self.rootward_levels):
+            (p, ls_p, phat, phattilde, ls_phat, ls_phattilde), _ = (
+                jax.lax.scan(
+                    rw_body,
+                    (p, ls_p, phat, phattilde, ls_phat, ls_phattilde),
+                    self._rw_xs,
+                )
+            )
 
         # Leafward: rhat at rootsplits = q * stationary; descend by level.
-        rhat = jnp.zeros((N, 4, S))
-        ls_rhat = jnp.zeros(N)
+        rhat = jnp.zeros((N + 1, 4, S))
+        ls_rhat = jnp.zeros(N + 1)
         rhat = rhat.at[jnp.asarray(self.root_ids)].set(
             0.25 * q[jnp.asarray(self.root_gpcsps)][:, None, None]
             * jnp.ones((len(self.root_ids), 4, S))
         )
-        r = jnp.zeros((N, 4, S))
-        rtilde = jnp.zeros((N, 4, S))
-        ls_r = jnp.zeros(N)
-        ls_rtilde = jnp.zeros(N)
+        r = jnp.zeros((N + 1, 4, S))
+        rtilde = jnp.zeros((N + 1, 4, S))
+        ls_r = jnp.zeros(N + 1)
+        ls_rtilde = jnp.zeros(N + 1)
 
-        def finish_r(node_ids, r, rtilde, ls_r, ls_rtilde):
-            nh = jnp.asarray(node_ids)
+        def finish_r(nh, rhat, ls_rhat, r, rtilde, ls_r, ls_rtilde):
             new_r = rhat[nh] * phattilde[nh]
             new_rt = rhat[nh] * phat[nh]
             mx_r = jnp.max(new_r, axis=(1, 2))
@@ -179,34 +225,46 @@ class GPEngine:
             return r, rtilde, ls_r, ls_rtilde
 
         r, rtilde, ls_r, ls_rtilde = finish_r(
-            np.asarray(self.root_ids), r, rtilde, ls_r, ls_rtilde
+            jnp.asarray(self.root_ids), rhat, ls_rhat, r, rtilde, ls_r,
+            ls_rtilde,
         )
 
-        for level in self.leafward_levels:
-            pa = jnp.asarray(level["parent"])
-            ch = jnp.asarray(level["child"])
-            g = jnp.asarray(level["gpcsp"])
-            rot = jnp.asarray(level["rotated"])
-            children_here = np.unique(level["child"])
+        def lw_body(carry, xs):
+            rhat, ls_rhat, r, rtilde, ls_r, ls_rtilde = carry
+            pa, ch, g, rot, nh = xs
             src = jnp.where(rot[:, None, None], rtilde[pa], r[pa])
             ls_src = jnp.where(rot, ls_rtilde[pa], ls_r[pa])
-            P = _jc69_transition(bl[g])
-            contrib = q[g][:, None, None] * jnp.einsum("eij,ejs->eis", P, src)
-            m = jnp.full((N,), np.inf).at[ch].min(ls_src)
+            P = _jc69_transition(bl_ext[g])
+            contrib = q_ext[g][:, None, None] * jnp.einsum(
+                "eij,ejs->eis", P, src
+            )
+            m = jnp.full((N + 1,), np.inf).at[ch].min(ls_src)
             factor = jnp.exp(ls_src - m[ch])
             rhat = rhat.at[ch].add(contrib * factor[:, None, None])
-            nh = jnp.asarray(children_here)
-            ls_rhat = ls_rhat.at[nh].set(m[nh])
+            m_nh = m[nh]
+            ls_rhat = ls_rhat.at[nh].set(
+                jnp.where(jnp.isfinite(m_nh), m_nh, ls_rhat[nh])
+            )
             r, rtilde, ls_r, ls_rtilde = finish_r(
-                children_here, r, rtilde, ls_r, ls_rtilde
+                nh, rhat, ls_rhat, r, rtilde, ls_r, ls_rtilde
+            )
+            return (rhat, ls_rhat, r, rtilde, ls_r, ls_rtilde), None
+
+        if len(self.leafward_levels):
+            (rhat, ls_rhat, r, rtilde, ls_r, ls_rtilde), _ = jax.lax.scan(
+                lw_body,
+                (rhat, ls_rhat, r, rtilde, ls_r, ls_rtilde),
+                self._lw_xs,
             )
 
-        return {
+        out = {
             "p": p, "phat": phat, "phattilde": phattilde, "rhat": rhat,
             "r": r, "rtilde": rtilde, "ls_p": ls_p, "ls_phat": ls_phat,
             "ls_phattilde": ls_phattilde, "ls_rhat": ls_rhat, "ls_r": ls_r,
             "ls_rtilde": ls_rtilde,
         }
+        # Trim the trash row: downstream consumers index real nodes only.
+        return {k: v[:N] for k, v in out.items()}
 
     def populate_plvs(self):
         out = self._populate_jit(

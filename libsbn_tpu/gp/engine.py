@@ -42,7 +42,7 @@ DEFAULT_BRANCH_LENGTH = 0.1
 
 def _jc69_transition(bl):
     """(E,) branch lengths -> (E, 4, 4) JC69 transition matrices."""
-    freqs, evec, ivec, evals = substitution.jc69_eigen()
+    freqs, evec, ivec, evals = substitution.jc69_eigen(bl.dtype)
     expo = jnp.exp(bl[..., None] * evals)
     return jnp.einsum("ij,...j,jk->...ik", evec, expo, ivec)
 
@@ -56,8 +56,10 @@ class GPEngine:
         unconditional_node_probabilities: np.ndarray,
         inverted_sbn_prior: np.ndarray,
         rescaling_threshold: float = 1e-40,  # kept for API parity; unused
+        dtype=np.float64,
     ):
         self.dag = dag
+        self.dtype = dtype
         self.site_pattern = site_pattern
         self.weights = np.asarray(site_pattern.weights)
         self.tips = np.asarray(site_pattern.tip_partials())  # (L, 4, S)
@@ -138,18 +140,18 @@ class GPEngine:
         N = self.dag.node_count()
         L = self.dag.taxon_count
         S = self.patterns
-        tips = jnp.asarray(self.tips)
+        tips = jnp.asarray(self.tips, bl.dtype)
         # One trash row (index N) absorbs padded-edge scatters; one sentinel
         # q/bl slot (index E) zeroes padded-edge contributions.
         q_ext = jnp.concatenate([q, jnp.zeros((1,), q.dtype)])
         bl_ext = jnp.concatenate([bl, jnp.zeros((1,), bl.dtype)])
 
-        p = jnp.zeros((N + 1, 4, S)).at[:L].set(tips)
-        ls_p = jnp.zeros(N + 1)
-        phat = jnp.zeros((N + 1, 4, S))
-        phattilde = jnp.zeros((N + 1, 4, S))
-        ls_phat = jnp.zeros(N + 1)
-        ls_phattilde = jnp.zeros(N + 1)
+        p = jnp.zeros((N + 1, 4, S), bl.dtype).at[:L].set(tips)
+        ls_p = jnp.zeros(N + 1, bl.dtype)
+        phat = jnp.zeros((N + 1, 4, S), bl.dtype)
+        phattilde = jnp.zeros((N + 1, 4, S), bl.dtype)
+        ls_phat = jnp.zeros(N + 1, bl.dtype)
+        ls_phattilde = jnp.zeros(N + 1, bl.dtype)
 
         def side(pa, ch, g, buf, ls_buf, nh, p, ls_p):
             """One rot-group of one rootward level: evolve children along
@@ -159,7 +161,7 @@ class GPEngine:
             contrib = q_ext[g][:, None, None] * jnp.einsum(
                 "eij,ejs->eis", P, p[ch]
             )
-            m = jnp.full((N + 1,), np.inf).at[pa].min(ls_p[ch])
+            m = jnp.full((N + 1,), np.inf, bl.dtype).at[pa].min(ls_p[ch])
             factor = jnp.exp(ls_p[ch] - m[pa])
             buf = buf.at[pa].add(contrib * factor[:, None, None])
             # A level with no edges of this orientation leaves the parents'
@@ -196,16 +198,16 @@ class GPEngine:
             )
 
         # Leafward: rhat at rootsplits = q * stationary; descend by level.
-        rhat = jnp.zeros((N + 1, 4, S))
-        ls_rhat = jnp.zeros(N + 1)
+        rhat = jnp.zeros((N + 1, 4, S), bl.dtype)
+        ls_rhat = jnp.zeros(N + 1, bl.dtype)
         rhat = rhat.at[jnp.asarray(self.root_ids)].set(
             0.25 * q[jnp.asarray(self.root_gpcsps)][:, None, None]
-            * jnp.ones((len(self.root_ids), 4, S))
+            * jnp.ones((len(self.root_ids), 4, S), bl.dtype)
         )
-        r = jnp.zeros((N + 1, 4, S))
-        rtilde = jnp.zeros((N + 1, 4, S))
-        ls_r = jnp.zeros(N + 1)
-        ls_rtilde = jnp.zeros(N + 1)
+        r = jnp.zeros((N + 1, 4, S), bl.dtype)
+        rtilde = jnp.zeros((N + 1, 4, S), bl.dtype)
+        ls_r = jnp.zeros(N + 1, bl.dtype)
+        ls_rtilde = jnp.zeros(N + 1, bl.dtype)
 
         def finish_r(nh, rhat, ls_rhat, r, rtilde, ls_r, ls_rtilde):
             new_r = rhat[nh] * phattilde[nh]
@@ -238,7 +240,7 @@ class GPEngine:
             contrib = q_ext[g][:, None, None] * jnp.einsum(
                 "eij,ejs->eis", P, src
             )
-            m = jnp.full((N + 1,), np.inf).at[ch].min(ls_src)
+            m = jnp.full((N + 1,), np.inf, bl.dtype).at[ch].min(ls_src)
             factor = jnp.exp(ls_src - m[ch])
             rhat = rhat.at[ch].add(contrib * factor[:, None, None])
             m_nh = m[nh]
@@ -268,7 +270,8 @@ class GPEngine:
 
     def populate_plvs(self):
         out = self._populate_jit(
-            jnp.asarray(self.branch_lengths), jnp.asarray(self.q)
+            jnp.asarray(self.branch_lengths, self.dtype),
+            jnp.asarray(self.q, self.dtype),
         )
         self.plvs = {k: np.asarray(v) for k, v in out.items()}
         # PLV sanitization (the reference asserts finiteness per op,
@@ -308,16 +311,16 @@ class GPEngine:
         root_rows = root_rows - jnp.log(q[jnp.asarray(self.root_gpcsps)])[:, None]
 
         E = self.dag.gpcsp_count_with_fake()
-        rows = jnp.full((E, self.patterns), -jnp.inf)
+        rows = jnp.full((E, self.patterns), -jnp.inf, bl.dtype)
         rows = rows.at[g].set(rows_edges)
         rows = rows.at[jnp.asarray(self.root_gpcsps)].set(root_rows)
         return rows, log_marginal
 
     def compute_likelihoods(self):
         rows, log_marginal = self._rows_jit(
-            {k: jnp.asarray(v) for k, v in self.plvs.items()},
-            jnp.asarray(self.branch_lengths),
-            jnp.asarray(self.q),
+            {k: jnp.asarray(v, self.dtype) for k, v in self.plvs.items()},
+            jnp.asarray(self.branch_lengths, self.dtype),
+            jnp.asarray(self.q, self.dtype),
         )
         self.log_likelihood_rows = np.asarray(rows)
         self.log_marginal_per_site = np.asarray(log_marginal)
@@ -343,7 +346,7 @@ class GPEngine:
         r_plv = jnp.where(rot[:, None, None], plvs["rtilde"][pa], plvs["r"][pa])
         P = _jc69_transition(jnp.exp(log_bl))
         lik = jnp.einsum("eis,eij,ejs->es", r_plv, P, plvs["p"][ch])
-        w = jnp.asarray(self.weights)
+        w = jnp.asarray(self.weights, log_bl.dtype)
         return -jnp.sum(jnp.log(lik) * w[None, :], axis=-1)
 
     def _optimize_impl(self, plvs, bl):
@@ -383,8 +386,8 @@ class GPEngine:
     def optimize_branch_lengths_sweep(self):
         self.branch_lengths = np.asarray(
             self._optimize_jit(
-                {k: jnp.asarray(v) for k, v in self.plvs.items()},
-                jnp.asarray(self.branch_lengths),
+                {k: jnp.asarray(v, self.dtype) for k, v in self.plvs.items()},
+                jnp.asarray(self.branch_lengths, self.dtype),
             )
         )
 

@@ -51,7 +51,11 @@ class GPInstance:
         )
 
     # -- engine -------------------------------------------------------------
-    def make_engine(self, rescaling_threshold: float = 1e-40):
+    def make_engine(self, rescaling_threshold: float = 1e-40, dtype=None):
+        """dtype=np.float32 trades the f64 parity precision for TPU-friendly
+        compile and runtime (f64 is software-emulated on TPU)."""
+        import numpy as np
+
         if self.alignment is None or self.tree_collection is None:
             raise RuntimeError("Please load both fasta and newick files.")
         site_pattern = SitePattern(
@@ -63,7 +67,7 @@ class GPInstance:
         inverted = self.dag.inverted_gpcsp_probabilities(sbn_prior, node_probs)
         self.engine = GPEngine(
             site_pattern, self.dag, sbn_prior, node_probs, inverted,
-            rescaling_threshold,
+            rescaling_threshold, dtype=dtype or np.float64,
         )
 
     def get_engine(self) -> GPEngine:
@@ -116,9 +120,13 @@ class GPInstance:
                 alpha /= 2.0
                 # Zero branch lengths (e.g. zero-length edges in input trees
                 # via hot start) stay zero under the geometric mix.
+                # Mix in float64 regardless of engine dtype: the 1e-300
+                # floor underflows to 0 in float32 (log(0) = -inf).
                 damped = np.exp(
-                    (1.0 - alpha) * np.log(np.maximum(previous_bl, 1e-300))
-                    + alpha * np.log(np.maximum(proposed, 1e-300))
+                    (1.0 - alpha)
+                    * np.log(np.maximum(previous_bl.astype(np.float64), 1e-300))
+                    + alpha
+                    * np.log(np.maximum(proposed.astype(np.float64), 1e-300))
                 )
                 marginal = marginal_of(damped)
             if marginal < current:

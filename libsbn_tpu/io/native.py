@@ -80,6 +80,22 @@ def get_lib():
             ctypes.c_uint64, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32),
         ]
+    if hasattr(lib, "lsbn_indexer_create"):
+        lib.lsbn_indexer_create.restype = ctypes.c_void_p
+        lib.lsbn_indexer_create.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32, ctypes.c_int32,
+        ]
+        lib.lsbn_indexer_free.restype = None
+        lib.lsbn_indexer_free.argtypes = [ctypes.c_void_p]
+        lib.lsbn_indexer_representations.restype = ctypes.c_int32
+        lib.lsbn_indexer_representations.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
     _lib = lib
     return _lib
 
@@ -145,6 +161,80 @@ def build_schedules(parent_vectors: np.ndarray, n_leaves: int):
         "up_parent": up_parent,
         "up_sibs": up_sibs,
     }
+
+
+def _pack_clade_words(bits_list, size: int, W: int) -> np.ndarray:
+    """Pack size-bit Python-int bitsets (string order: position 0 most
+    significant) into (len, W) big-endian uint64 words, so lexicographic
+    word comparison in C++ matches Bitset.__lt__."""
+    out = np.empty((len(bits_list), W), dtype=np.uint64)
+    shift = W * 64 - size
+    m64 = 0xFFFFFFFFFFFFFFFF
+    for i, b in enumerate(bits_list):
+        padded = b << shift
+        for k in range(W):
+            out[i, k] = (padded >> (64 * (W - 1 - k))) & m64
+    return out
+
+
+class NativeIndexerHandle:
+    """Persistent C++ hash-map handle over an SBN indexer, for batched
+    unrooted indexer representations of canonical parent-id vectors."""
+
+    def __init__(self, split_items, pcsp_items, taxon_count: int):
+        """split_items: [(bits, index)] for size-n rootsplit keys;
+        pcsp_items: [(bits, index)] for size-3n PCSP keys."""
+        lib = get_lib()
+        if lib is None or not hasattr(lib, "lsbn_indexer_create"):
+            raise RuntimeError("native indexer unavailable")
+        self._lib = lib
+        self.taxon_count = taxon_count
+        n = taxon_count
+        W = (n + 63) // 64
+        split_keys = _pack_clade_words([b for b, _ in split_items], n, W)
+        mask_n = (1 << n) - 1
+        pcsp_rows = []
+        for bits, _ in pcsp_items:
+            chunks = [(bits >> ((2 - c) * n)) & mask_n for c in range(3)]
+            pcsp_rows.append(_pack_clade_words(chunks, n, W).reshape(-1))
+        pcsp_keys = (
+            np.stack(pcsp_rows)
+            if pcsp_rows
+            else np.empty((0, 3 * W), dtype=np.uint64)
+        )
+        split_vals = np.asarray([i for _, i in split_items], dtype=np.int32)
+        pcsp_vals = np.asarray([i for _, i in pcsp_items], dtype=np.int32)
+        split_keys = np.ascontiguousarray(split_keys)
+        pcsp_keys = np.ascontiguousarray(pcsp_keys)
+        self._handle = lib.lsbn_indexer_create(
+            split_keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            split_vals.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(split_items),
+            pcsp_keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            pcsp_vals.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(pcsp_items), taxon_count,
+        )
+
+    def representations(self, parent_vectors: np.ndarray, default_index: int):
+        """(T, E, R) int32 unrooted representations, or None on error."""
+        pv = np.ascontiguousarray(parent_vectors, dtype=np.int32)
+        T, nm1 = pv.shape
+        n_nodes = nm1 + 1
+        E = n_nodes - 1
+        R = self.taxon_count - 1
+        out = np.empty((T, E, R), dtype=np.int32)
+        rc = self._lib.lsbn_indexer_representations(
+            self._handle,
+            pv.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            T, n_nodes, default_index,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return out if rc == 0 else None
+
+    def __del__(self):
+        handle = getattr(self, "_handle", None)
+        if handle:
+            self._lib.lsbn_indexer_free(handle)
 
 
 def sample_topologies(probs, root_tab, child_tab, n_taxa: int,

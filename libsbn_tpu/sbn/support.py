@@ -128,6 +128,40 @@ class UnrootedSBNSupport(SBNSupport):
     def _pcsp_counter(self, topology_counter):
         return maps.unrooted_pcsp_counter_of(topology_counter)
 
+    def native_indexer_handle(self):
+        """Cached C++ indexer handle (io/native.py NativeIndexerHandle), or
+        None when the native library is unavailable."""
+        cached = getattr(self, "_native_indexer_cache", "unset")
+        if cached != "unset":
+            return cached
+        handle = None
+        try:
+            from ..io import native
+
+            n = self.taxon_count()
+            split_items = [
+                (b.bits, i) for b, i in self.indexer.items() if b.size == n
+            ]
+            pcsp_items = [
+                (b.bits, i) for b, i in self.indexer.items() if b.size == 3 * n
+            ]
+            handle = native.NativeIndexerHandle(split_items, pcsp_items, n)
+        except Exception:
+            handle = None
+        object.__setattr__(self, "_native_indexer_cache", handle)
+        return handle
+
+    def dense_representations_of_parent_vectors(self, parent_vectors):
+        """(T, E, R) int32 representations straight from canonical parent-id
+        vectors via the native core — no Python Topology construction.
+        Returns None when the native path is unavailable. Unlike the Python
+        path (which raises on splits outside the support), out-of-support
+        splits and PCSPs map to the sentinel index."""
+        handle = self.native_indexer_handle()
+        if handle is None:
+            return None
+        return handle.representations(parent_vectors, self.gpcsp_count)
+
 
 class RootedSBNSupport(SBNSupport):
     rooted = True

@@ -206,36 +206,62 @@ class JitVBPI:
 
     def _topology_artifacts(self, key, top=None):
         """Per-topology dense artifacts, cached: sampled topologies repeat
-        heavily once the SBN concentrates, so the Python lowering (schedule
-        rows, indexer representations, touched segments, PSP rows) is paid
-        once per distinct topology.
+        heavily once the SBN concentrates, so the lowering (schedule rows,
+        indexer representations, touched segments) is paid once per distinct
+        topology. Returns the 8-tuple (post_node, post_children, up_node,
+        up_parent, up_sibs, branch_rep, rep, touched) of per-tree arrays.
 
         ``key`` is either the Topology itself (Python-sampler path) or the
-        tuple of its canonical parent-id vector (native-sampler path, so a
-        cache hit never constructs a Python Topology at all)."""
+        tuple of its canonical parent-id vector. On the tuple path with the
+        native core available, the whole miss is C++-side (schedule builder
+        + indexer representations) and never constructs a Python Topology;
+        branch_rep falls out as rep[:, 0] (the PSP rootsplit row equals the
+        split-index column by construction, psp_indexer.cpp:31-48)."""
         import numpy as np
 
         from ..core.topology import Topology
+        from ..io import native
         from ..ops import schedule as schedule_ops
         from ..sbn import gradients as sbn_gradients_mod
 
         cached = self._artifact_cache.get(key)
         if cached is not None:
             return cached
-        if top is None:
-            top = key if isinstance(key, Topology) else (
-                Topology.of_parent_id_vector(list(key))
+        support = self.inst.sbn_support
+        rep = None
+        if top is None and not isinstance(key, Topology):
+            pv = np.asarray(key, dtype=np.int32)
+            reps = support.dense_representations_of_parent_vectors(pv[None])
+            sched_dict = native.build_schedules(
+                pv[None], support.taxon_count()
             )
-        sched = schedule_ops.schedule_of_topology(top)
-        branch_rep = np.asarray(
-            self.inst.psp_indexer.representation_of(top)[0], dtype=np.int32
-        )
-        rep = self.inst.sbn_support.dense_representations([top])[0]
+            if reps is not None and sched_dict is not None:
+                rep = reps[0]
+                sched5_one = (
+                    sched_dict["post_node"][0], sched_dict["post_children"][0],
+                    sched_dict["up_node"][0], sched_dict["up_parent"][0],
+                    sched_dict["up_sibs"][0],
+                )
+                branch_rep = np.ascontiguousarray(rep[:, 0])
+        if rep is None:
+            if top is None:
+                top = key if isinstance(key, Topology) else (
+                    Topology.of_parent_id_vector(list(key))
+                )
+            sched = schedule_ops.schedule_of_topology(top)
+            sched5_one = (
+                sched.post_node, sched.post_children, sched.up_node,
+                sched.up_parent, sched.up_sibs,
+            )
+            branch_rep = np.asarray(
+                self.inst.psp_indexer.representation_of(top)[0],
+                dtype=np.int32,
+            )
+            rep = support.dense_representations([top])[0]
         touched = sbn_gradients_mod.touched_segments_of(
-            self.inst.sbn_support, rep[None],
-            pad_to=4 * self.inst.sbn_support.taxon_count(),
+            support, rep[None], pad_to=4 * support.taxon_count()
         )[0]
-        artifacts = (sched, branch_rep, rep, touched)
+        artifacts = sched5_one + (branch_rep, rep, touched)
         self._artifact_cache[key] = artifacts
         return artifacts
 
@@ -276,20 +302,15 @@ class JitVBPI:
                 for _ in range(self.particle_count)
             ]
             artifacts = [self._topology_artifacts(t) for t in tops]
-        sched = schedule_ops.batch_schedules([a[0] for a in artifacts])
-        branch_rep = np.stack([a[1] for a in artifacts])
-        reps = np.stack([a[2] for a in artifacts])
-        touched = np.stack([a[3] for a in artifacts])
+        stacked = [np.stack(column) for column in zip(*artifacts)]
+        sched5 = tuple(stacked[:5])
+        branch_rep, reps, touched = stacked[5], stacked[6], stacked[7]
         eps = self.rng.standard_normal(branch_rep.shape)
-        return sched, branch_rep, reps, touched, eps
+        return sched5, branch_rep, reps, touched, eps
 
-    def _device_put(self, sched, branch_rep, reps, touched, eps):
+    def _device_put(self, sched5, branch_rep, reps, touched, eps):
         import numpy as np
 
-        sched5 = (
-            sched.post_node, sched.post_children, sched.up_node,
-            sched.up_parent, sched.up_sibs,
-        )
         arrays = sched5 + (branch_rep, reps, touched, eps.astype(self.dtype))
         if self.mesh is not None:
             from ..parallel.sharding import particle_sharding

@@ -561,6 +561,287 @@ int32_t lsbn_build_schedules(const int32_t* parent_vectors, int32_t n_trees,
 
 }  // extern "C"
 
+// -- SBN indexer representations --------------------------------------------
+// Digest unrooted topologies (canonical parent-id vectors) into dense
+// indexer representations: one rooted representation [rootsplit idx, PCSP
+// idxs...] per virtual rooting (sbn_maps.cpp UnrootedSBNMaps::
+// IndexerRepresentationOf + node.cpp UnrootedPCSPPreorder; Python port in
+// sbn/maps.py unrooted_indexer_representation_of). Bitset keys are packed
+// big-endian (taxon 0 = bit 63 of word 0) so lexicographic uint64-word
+// comparison matches the Python Bitset's string-order comparison.
+
+namespace {
+
+struct Clades {
+  int n_taxa = 0;
+  int W = 0;  // words per clade
+  std::vector<uint64_t> data;  // node-major, W words per node
+
+  uint64_t* of(int node) { return data.data() + static_cast<size_t>(node) * W; }
+  const uint64_t* of(int node) const {
+    return data.data() + static_cast<size_t>(node) * W;
+  }
+  uint64_t mask(int w) const {
+    const int used = std::min(64, n_taxa - 64 * w);
+    return used == 64 ? ~0ull : (~0ull << (64 - used));
+  }
+};
+
+struct NativeIndexer {
+  int n_taxa = 0;
+  int W = 0;
+  std::unordered_map<std::string, int32_t> splits;  // W-word keys
+  std::unordered_map<std::string, int32_t> pcsps;   // 3W-word keys
+};
+
+inline std::string KeyOf(const uint64_t* words, int count) {
+  return std::string(reinterpret_cast<const char*>(words),
+                     sizeof(uint64_t) * count);
+}
+
+// Lexicographic (string-order) comparison of two W-word clades.
+inline bool CladeLess(const uint64_t* a, const uint64_t* b, int W) {
+  for (int w = 0; w < W; ++w) {
+    if (a[w] != b[w]) return a[w] < b[w];
+  }
+  return false;
+}
+
+struct RepBuilder {
+  const NativeIndexer* ix;
+  const Clades* clades;
+  int root_id;
+  int32_t default_index;
+  int R;  // entries per rooted representation (n_taxa - 1)
+  const std::vector<std::vector<int>>* children;
+  int32_t* out;            // (E, R) for the current tree
+  std::vector<int> fill;   // next write slot per row
+  bool ok = true;
+
+  void leaves_of(int node, bool flip, uint64_t* dst) const {
+    const uint64_t* src = clades->of(node);
+    for (int w = 0; w < clades->W; ++w) {
+      dst[w] = flip ? (~src[w] & clades->mask(w)) : src[w];
+    }
+  }
+
+  void append(int row, int32_t position) {
+    if (fill[row] >= R) {
+      ok = false;
+      return;
+    }
+    out[static_cast<size_t>(row) * R + fill[row]++] = position;
+  }
+
+  // The 8-argument PCSP visitor of unrooted_pcsp_preorder.
+  void visit(int sister, bool sd, int focal, bool fd, int child0, bool c0d,
+             int child1, bool c1d, int virtual_root_clade) {
+    const int W = clades->W;
+    std::vector<uint64_t> key(3 * W);
+    leaves_of(sister, sd, key.data());
+    leaves_of(focal, fd, key.data() + W);
+    std::vector<uint64_t> c0(W), c1(W);
+    leaves_of(child0, c0d, c0.data());
+    leaves_of(child1, c1d, c1.data());
+    const uint64_t* mn = CladeLess(c0.data(), c1.data(), W) ? c0.data()
+                                                            : c1.data();
+    std::copy(mn, mn + W, key.data() + 2 * W);
+    auto it = ix->pcsps.find(KeyOf(key.data(), 3 * W));
+    const int32_t position =
+        it == ix->pcsps.end() ? default_index : it->second;
+    if (sister == focal) {
+      append(focal, position);
+      return;
+    }
+    // Every rooting inside the virtual root clade except the sister/focal
+    // clades and the root realizes this PCSP.
+    std::vector<int> stack{virtual_root_clade};
+    while (!stack.empty()) {
+      const int node = stack.back();
+      stack.pop_back();
+      if (node == sister || node == focal) continue;
+      if (node != root_id) append(node, position);
+      for (const int c : (*children)[node]) stack.push_back(c);
+    }
+  }
+
+  void f_root(int node0, int node1, int node2) {
+    visit(node2, false, node2, true, node0, false, node1, false, -1);
+    const auto& kids = (*children)[node2];
+    if (!kids.empty()) {
+      visit(node0, false, node2, false, kids[0], false, kids[1], false, node1);
+      visit(node1, false, node2, false, kids[0], false, kids[1], false, node0);
+      visit(node2, true, node2, false, kids[0], false, kids[1], false, -1);
+      visit(kids[1], false, node2, true, node0, false, node1, false, kids[0]);
+      visit(kids[0], false, node2, true, node0, false, node1, false, kids[1]);
+    }
+  }
+
+  void f_internal(int node, int sister, int parent) {
+    visit(node, false, node, true, parent, true, sister, false, -1);
+    const auto& kids = (*children)[node];
+    if (!kids.empty()) {
+      visit(sister, false, node, false, kids[0], false, kids[1], false,
+            root_id);
+      visit(parent, true, node, false, kids[0], false, kids[1], false, sister);
+      visit(node, true, node, false, kids[0], false, kids[1], false, -1);
+      visit(kids[1], false, node, true, sister, false, parent, true, kids[0]);
+      visit(kids[0], false, node, true, sister, false, parent, true, kids[1]);
+    }
+  }
+
+  void recur(int node, int sister, int parent) {
+    f_internal(node, sister, parent);
+    const auto& kids = (*children)[node];
+    if (!kids.empty()) {
+      recur(kids[0], kids[1], node);
+      recur(kids[1], kids[0], node);
+    }
+  }
+
+  void run() {
+    const auto& rc = (*children)[root_id];
+    if (rc.size() != 3) {
+      ok = false;
+      return;
+    }
+    for (int i = 0; i < 3; ++i) {
+      const int n = rc[i], s = rc[(i + 1) % 3], p = rc[(i + 2) % 3];
+      f_root(n, s, p);
+      const auto& kids = (*children)[n];
+      if (!kids.empty()) {
+        recur(kids[0], kids[1], n);
+        recur(kids[1], kids[0], n);
+      }
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* lsbn_indexer_create(const uint64_t* split_keys,
+                          const int32_t* split_vals, int32_t n_splits,
+                          const uint64_t* pcsp_keys, const int32_t* pcsp_vals,
+                          int32_t n_pcsps, int32_t n_taxa) {
+  auto* ix = new NativeIndexer();
+  ix->n_taxa = n_taxa;
+  ix->W = (n_taxa + 63) / 64;
+  ix->splits.reserve(n_splits * 2);
+  ix->pcsps.reserve(n_pcsps * 2);
+  for (int32_t i = 0; i < n_splits; ++i) {
+    ix->splits.emplace(KeyOf(split_keys + static_cast<size_t>(i) * ix->W, ix->W),
+                       split_vals[i]);
+  }
+  for (int32_t i = 0; i < n_pcsps; ++i) {
+    ix->pcsps.emplace(
+        KeyOf(pcsp_keys + static_cast<size_t>(i) * 3 * ix->W, 3 * ix->W),
+        pcsp_vals[i]);
+  }
+  return ix;
+}
+
+void lsbn_indexer_free(void* handle) {
+  delete static_cast<NativeIndexer*>(handle);
+}
+
+// Unrooted indexer representations for a batch of canonical parent-id
+// vectors. out is caller-allocated (n_trees, E, R) with E = n_nodes - 1 and
+// R = n_taxa - 1. Returns 0 on success.
+int32_t lsbn_indexer_representations(void* handle,
+                                     const int32_t* parent_vectors,
+                                     int32_t n_trees, int32_t n_nodes,
+                                     int32_t default_index, int32_t* out) {
+  auto* ix = static_cast<NativeIndexer*>(handle);
+  const int n_taxa = ix->n_taxa;
+  const int W = ix->W;
+  const int E = n_nodes - 1;
+  const int R = n_taxa - 1;
+  const int root_id = n_nodes - 1;
+
+  std::vector<std::vector<int>> children(n_nodes);
+  Clades clades;
+  clades.n_taxa = n_taxa;
+  clades.W = W;
+  clades.data.assign(static_cast<size_t>(n_nodes) * W, 0);
+
+  for (int t = 0; t < n_trees; ++t) {
+    const int32_t* pv = parent_vectors + static_cast<size_t>(t) * E;
+    for (auto& c : children) c.clear();
+    for (int i = 0; i < E; ++i) {
+      if (pv[i] < 0 || pv[i] >= n_nodes) return 1;
+      children[pv[i]].push_back(i);
+    }
+    // Clades bottom-up: ids are canonical (leaves 0..n_taxa-1, internals
+    // postorder), so ascending id order is a valid postorder.
+    std::fill(clades.data.begin(), clades.data.end(), 0);
+    for (int node = 0; node < n_nodes; ++node) {
+      uint64_t* dst = clades.of(node);
+      if (children[node].empty()) {
+        if (node >= n_taxa) return 2;
+        dst[node / 64] |= 1ull << (63 - node % 64);
+      } else {
+        for (const int c : children[node]) {
+          if (c >= node) return 3;
+          const uint64_t* src = clades.of(c);
+          for (int w = 0; w < W; ++w) dst[w] |= src[w];
+        }
+      }
+    }
+    // Canonical child order (by max leaf id): children of polished trees
+    // arrive in ascending id order, which is postorder-consistent, but the
+    // canonical order is by max leaf — recompute as the schedule builder
+    // does.
+    std::vector<int32_t> max_leaf(n_nodes, -1);
+    for (int node = 0; node < n_nodes; ++node) {
+      if (children[node].empty()) {
+        max_leaf[node] = node;
+      } else {
+        int32_t m = -1;
+        for (const int c : children[node]) m = std::max(m, max_leaf[c]);
+        max_leaf[node] = m;
+      }
+    }
+    for (auto& c : children) {
+      std::sort(c.begin(), c.end(), [&max_leaf](int a, int b) {
+        return max_leaf[a] < max_leaf[b];
+      });
+    }
+
+    int32_t* tree_out = out + static_cast<size_t>(t) * E * R;
+    RepBuilder rb;
+    rb.ix = ix;
+    rb.clades = &clades;
+    rb.root_id = root_id;
+    rb.default_index = default_index;
+    rb.R = R;
+    rb.children = &children;
+    rb.out = tree_out;
+    rb.fill.assign(E, 0);
+    // Slot 0 of every row: the (minorized) split below that node.
+    std::vector<uint64_t> minor(W);
+    for (int node = 0; node < E; ++node) {
+      const uint64_t* leaves = clades.of(node);
+      std::vector<uint64_t> comp(W);
+      for (int w = 0; w < W; ++w) comp[w] = ~leaves[w] & clades.mask(w);
+      const uint64_t* mn =
+          CladeLess(leaves, comp.data(), W) ? leaves : comp.data();
+      std::copy(mn, mn + W, minor.begin());
+      auto it = ix->splits.find(KeyOf(minor.data(), W));
+      rb.append(node, it == ix->splits.end() ? default_index : it->second);
+    }
+    rb.run();
+    if (!rb.ok) return 4;
+    for (int row = 0; row < E; ++row) {
+      if (rb.fill[row] != R) return 5;
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"
+
 // -- SBN topology sampling --------------------------------------------------
 // Ancestral sampling from a trained SBN, replacing the Python recursion in
 // sbn/sampling.py (reference: generic_sbn_instance.hpp SampleTopology). The

@@ -191,3 +191,29 @@ def test_normalized_range_probs_matches_loop(lib, data_dir):
         p = np.exp(seg - seg.max())
         ref[start:end] = p / p.sum()
     np.testing.assert_allclose(probs, ref, atol=1e-15)
+
+
+def test_native_indexer_representations_match_python(lib, data_dir):
+    """Native unrooted indexer representations equal the Python path
+    (native/libsbn_native.cpp lsbn_indexer_representations vs
+    sbn/maps.py unrooted_indexer_representation_of) as per-row multisets,
+    with identical split-index column 0."""
+    from libsbn_tpu import UnrootedInstance
+    from libsbn_tpu.sbn import sampling
+
+    inst = UnrootedInstance("DS1")
+    inst.read_nexus_file(f"{data_dir}/DS1.subsampled_10.t")
+    inst.process_loaded_trees()
+    inst.train_simple_average()
+    sup = inst.sbn_support
+
+    ns = sampling.NativeSBNSampler(sup, inst.sbn_parameters, seed=11)
+    pvs = ns.sample_parent_vectors(30, rooted=False)
+    reps_native = sup.dense_representations_of_parent_vectors(pvs)
+    assert reps_native is not None
+    tops = [Topology.of_parent_id_vector(list(map(int, r))) for r in pvs]
+    reps_py = sup.dense_representations(tops)
+    np.testing.assert_array_equal(reps_native[:, :, 0], reps_py[:, :, 0])
+    for t in range(len(tops)):
+        for e in range(reps_py.shape[1]):
+            assert sorted(reps_native[t, e]) == sorted(reps_py[t, e])

@@ -16,9 +16,28 @@ reference demand 1e-6..1e-12 agreement; TPU benchmark paths explicitly cast
 to float32/bfloat16.
 """
 
+import os as _os
+
 from jax import config as _jax_config
 
 _jax_config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache: deep subsplit-DAG programs can take
+# minutes of compile on TPU; cache them across processes. Opt out with
+# LIBSBN_TPU_NO_CACHE=1 or redirect with LIBSBN_TPU_CACHE_DIR.
+if not _os.environ.get("LIBSBN_TPU_NO_CACHE"):
+    _cache_dir = _os.environ.get(
+        "LIBSBN_TPU_CACHE_DIR",
+        _os.path.join(
+            _os.environ.get("XDG_CACHE_HOME", _os.path.expanduser("~/.cache")),
+            "libsbn_tpu_xla",
+        ),
+    )
+    try:
+        _jax_config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax_config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - older jax without the knobs
+        pass
 
 __version__ = "0.1.0"
 

@@ -273,15 +273,25 @@ class GPEngine:
             jnp.asarray(self.branch_lengths, self.dtype),
             jnp.asarray(self.q, self.dtype),
         )
-        self.plvs = {k: np.asarray(v) for k, v in out.items()}
+        # PLVs stay DEVICE-RESIDENT: the coordinate-ascent loop re-feeds them
+        # to the likelihood/optimize programs, and shipping the full dict to
+        # host every sweep dominated wall time (hundreds of MB per sweep on
+        # large DAGs). Host consumers index them transparently; numpy ops
+        # transfer lazily on the rare cold paths (hybrids, derivatives).
+        self.plvs = out
         # PLV sanitization (the reference asserts finiteness per op,
-        # gp_engine.cpp:298-300).
-        for name in ("p", "r", "rtilde"):
-            if not np.isfinite(self.plvs[name]).all():
-                raise FloatingPointError(
-                    f"Non-finite values in GP PLV {name!r}; check branch "
-                    "lengths and SBN parameters."
-                )
+        # gp_engine.cpp:298-300) — one fused device-side check, one scalar
+        # transfer.
+        finite = bool(
+            jnp.isfinite(out["p"]).all()
+            & jnp.isfinite(out["r"]).all()
+            & jnp.isfinite(out["rtilde"]).all()
+        )
+        if not finite:
+            raise FloatingPointError(
+                "Non-finite values in GP PLVs; check branch lengths and "
+                "SBN parameters."
+            )
 
     # -- likelihoods ---------------------------------------------------------
     def _likelihood_rows_impl(self, plvs, bl, q):
@@ -322,14 +332,16 @@ class GPEngine:
             jnp.asarray(self.branch_lengths, self.dtype),
             jnp.asarray(self.q, self.dtype),
         )
-        self.log_likelihood_rows = np.asarray(rows)
+        # Rows stay on device ((E, patterns) — large); the per-site marginal
+        # is small and is what the convergence loop polls.
+        self.log_likelihood_rows = rows
         self.log_marginal_per_site = np.asarray(log_marginal)
 
     def get_log_marginal_likelihood(self) -> float:
         return float(np.sum(self.log_marginal_per_site * self.weights))
 
     def get_per_gpcsp_log_likelihoods(self) -> np.ndarray:
-        return self.log_likelihood_rows @ self.weights
+        return np.asarray(self.log_likelihood_rows @ self.weights)
 
     def get_per_gpcsp_components_of_full_log_marginal(self) -> np.ndarray:
         return (

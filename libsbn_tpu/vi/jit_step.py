@@ -9,8 +9,10 @@ topology gradients, and the optax update — runs on device. Under a Mesh, the
 particle axis shards data-parallel ("dp") and XLA inserts the gradient psums
 (SURVEY.md §2.9 TPU-native equivalents).
 
-Currently implements the split-lognormal branch model (the benchmark
-default).
+Branch models: split-lognormal (one variable per split, the benchmark
+default) and PSP (three summed component variables per branch, ICLR 2019),
+selected with ``branch_model=`` — both run the same jitted program with
+C = 1 or 3 component rows in branch_rep.
 """
 
 from __future__ import annotations
@@ -42,6 +44,10 @@ class VBPIStatics(NamedTuple):
     num_segments: int
     rescale: bool
     use_vimco: bool
+    # PSP branch model: branch_rep carries 3 component rows per branch whose
+    # lognormal parameters sum (ICLR 2019); the last q_params row is the
+    # zeroed sentinel for absent components (branch_models.py PSPModel).
+    psp: bool = False
 
 
 def make_optimizer(scalar_lr=1e-3, sbn_lr=1e-3):
@@ -71,7 +77,7 @@ def vbpi_train_step(
     optimizer,
     # Per-step host-sampled inputs:
     sched5,  # tuple of 5 (P, ...) int32 schedule arrays
-    branch_rep,  # (P, B) int32 split index per branch
+    branch_rep,  # (P, C, B) int32 variable indices per branch (C=1 split, 3 psp)
     reps,  # (P, E, R) int32 unrooted indexer representations
     touched,  # (P, E, Sm) int32 touched segments
     eps,  # (P, B) standard normals
@@ -84,11 +90,14 @@ def vbpi_train_step(
 ):
     """One full VBPI gradient step. Returns (new_state, metrics)."""
     q_params, sbn_params, opt_state = state
-    P_count, B = branch_rep.shape
+    P_count, C, B = branch_rep.shape
 
-    # 1. Reparameterized branch lengths: theta = exp(mu + sigma * eps).
-    mu = q_params[branch_rep, 0]
-    sigma = q_params[branch_rep, 1]
+    # 1. Reparameterized branch lengths: theta = exp(mu + sigma * eps),
+    # (mu, sigma) summed over the branch's C component variables (for the
+    # split model C = 1; for PSP the zeroed sentinel row absorbs absent
+    # components).
+    mu = q_params[branch_rep, 0].sum(axis=1)  # (P, B)
+    sigma = q_params[branch_rep, 1].sum(axis=1)
     theta = jnp.exp(mu + sigma * eps)  # (P, B)
 
     # 2. Batched pruning: likelihoods + linear-time branch gradients.
@@ -111,18 +120,24 @@ def vbpi_train_step(
 
     lls, bgrads = jax.vmap(one, in_axes=((0, 0, 0, 0, 0), 0))(sched5, bl_padded)
 
-    # 3. Scalar (split-lognormal) gradient, eq:dLdPsi.
+    # 3. Scalar lognormal gradient, eq:dLdPsi: each branch's per-occurrence
+    # contribution scatters onto all C of its component variables
+    # (branch_models.py scalar_grad).
     dlogp = bgrads - PRIOR_RATE  # + d log prior / d theta
     g0 = dlogp * theta - (-1.0)
     g1 = dlogp * theta * eps - (-eps - 1.0 / sigma)
     V = q_params.shape[0]
+    occ = jnp.broadcast_to(branch_rep, (P_count, C, B)).reshape(-1)
+    g0_occ = jnp.broadcast_to(g0[:, None, :], (P_count, C, B)).reshape(-1)
+    g1_occ = jnp.broadcast_to(g1[:, None, :], (P_count, C, B)).reshape(-1)
     scalar_grad = (
         jnp.zeros((V, 2), q_params.dtype)
-        .at[branch_rep.reshape(-1), 0]
-        .add(g0.reshape(-1))
-        .at[branch_rep.reshape(-1), 1]
-        .add(g1.reshape(-1))
+        .at[occ, 0].add(g0_occ)
+        .at[occ, 1].add(g1_occ)
     )
+    if statics.psp:
+        # The sentinel (last) row stays zero (branch_models.py:200).
+        scalar_grad = scalar_grad.at[V - 1].set(0.0)
 
     # 4. log f = beta*loglike + log prior - log q_sbn - log q_branch.
     log_prior = B * jnp.log(PRIOR_RATE) - PRIOR_RATE * jnp.sum(theta, axis=1)
@@ -159,11 +174,12 @@ def vbpi_train_step(
 
 class JitVBPI:
     """Host driver around vbpi_train_step for an UnrootedInstance with a
-    split-lognormal branch model. Optionally shards the particle axis over a
-    mesh ("dp") with replicated model constants."""
+    split-lognormal or PSP branch model. Optionally shards the particle axis
+    over a mesh ("dp") with replicated model constants."""
 
     def __init__(self, inst, particle_count: int, mesh=None, use_vimco=True,
-                 scalar_lr=1e-3, sbn_lr=1e-3, dtype=None, seed=0, rescale=True):
+                 scalar_lr=1e-3, sbn_lr=1e-3, dtype=None, seed=0, rescale=True,
+                 branch_model: str = "split"):
         import numpy as np
 
         from ..models.phylo_model import PhyloModelSpec
@@ -190,8 +206,18 @@ class JitVBPI:
         self.tips = sp.tips.astype(dtype)
         self.weights = sp.weights.astype(dtype)
 
-        V = inst.psp_indexer.details()["after_rootsplits_index"]
-        q0 = np.full((V, 2), [-2.0, 0.5])
+        assert branch_model in ("split", "psp")
+        self.branch_model = branch_model
+        details = inst.psp_indexer.details()
+        if branch_model == "split":
+            V = details["after_rootsplits_index"]
+            q0 = np.full((V, 2), [-2.0, 0.5])
+        else:
+            # PSP: one variable per rootsplit/down/up component plus the
+            # zeroed sentinel row (branch_models.py PSPModel).
+            V = details["first_empty_index"] + 1
+            q0 = np.full((V, 2), [-2.0 / 3.0, 0.5 / 3.0])
+            q0[-1] = 0.0
         self.optimizer = make_optimizer(scalar_lr, sbn_lr)
         self.state = init_state(
             jnp.asarray(q0, dtype), jnp.asarray(inst.sbn_parameters, dtype),
@@ -202,6 +228,7 @@ class JitVBPI:
             num_segments=num_segments,
             rescale=rescale,
             use_vimco=use_vimco,
+            psp=(branch_model == "psp"),
         )
 
     def _topology_artifacts(self, key, top=None):
@@ -228,8 +255,9 @@ class JitVBPI:
         if cached is not None:
             return cached
         support = self.inst.sbn_support
+        psp = self.statics.psp
         rep = None
-        if top is None and not isinstance(key, Topology):
+        if top is None and not psp and not isinstance(key, Topology):
             pv = np.asarray(key, dtype=np.int32)
             reps = support.dense_representations_of_parent_vectors(pv[None])
             sched_dict = native.build_schedules(
@@ -242,7 +270,7 @@ class JitVBPI:
                     sched_dict["up_node"][0], sched_dict["up_parent"][0],
                     sched_dict["up_sibs"][0],
                 )
-                branch_rep = np.ascontiguousarray(rep[:, 0])
+                branch_rep = np.ascontiguousarray(rep[None, :, 0])
         if rep is None:
             if top is None:
                 top = key if isinstance(key, Topology) else (
@@ -253,10 +281,11 @@ class JitVBPI:
                 sched.post_node, sched.post_children, sched.up_node,
                 sched.up_parent, sched.up_sibs,
             )
-            branch_rep = np.asarray(
-                self.inst.psp_indexer.representation_of(top)[0],
+            psp_rep = np.asarray(
+                self.inst.psp_indexer.representation_of(top),
                 dtype=np.int32,
-            )
+            )  # (3, B)
+            branch_rep = psp_rep if psp else psp_rep[:1]
             rep = support.dense_representations([top])[0]
         touched = sbn_gradients_mod.touched_segments_of(
             support, rep[None], pad_to=4 * support.taxon_count()
@@ -305,7 +334,9 @@ class JitVBPI:
         stacked = [np.stack(column) for column in zip(*artifacts)]
         sched5 = tuple(stacked[:5])
         branch_rep, reps, touched = stacked[5], stacked[6], stacked[7]
-        eps = self.rng.standard_normal(branch_rep.shape)
+        eps = self.rng.standard_normal(
+            (branch_rep.shape[0], branch_rep.shape[-1])
+        )
         return sched5, branch_rep, reps, touched, eps
 
     def _device_put(self, sched5, branch_rep, reps, touched, eps):

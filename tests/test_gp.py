@@ -295,3 +295,23 @@ def test_priors_four_taxon():
     assert abs(by_pretty_all["0011"] - 1.0 / 15) < 1e-10
     assert abs(by_pretty_all["0001|1110|0110"] - 1.0 / 3) < 1e-10
     assert abs(by_pretty_all["0001|1110|0010"] - 1.0 / 3) < 1e-10
+
+
+def test_f32_engine_tracks_f64():
+    """make_engine(dtype=float32) (the TPU mode) tracks the f64 marginal to
+    ~1e-2 absolute through a full branch-length fit, and keeps PLVs on
+    device without breaking downstream consumers."""
+    results = {}
+    for dtype in (np.float64, np.float32):
+        inst = GPInstance()
+        inst.read_fasta_file(f"{DATA}/five_taxon.fasta")
+        inst.read_newick_file(f"{DATA}/five_taxon_rooted_more.nwk")
+        inst.make_engine(dtype=dtype)
+        inst.hot_start_branch_lengths()
+        inst.estimate_branch_lengths(1e-4, 20, quiet=True)
+        inst.estimate_sbn_parameters()
+        results[dtype] = inst.get_engine().get_log_marginal_likelihood()
+        # Downstream consumers of device-resident rows/PLVs still work.
+        per = inst.get_engine().get_per_gpcsp_log_likelihoods()
+        assert isinstance(per, np.ndarray)
+    assert abs(results[np.float64] - results[np.float32]) < 1e-2

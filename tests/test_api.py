@@ -216,3 +216,30 @@ def test_per_tree_parameters(data_dir):
         single = {"site": {"shape": jax.numpy.asarray(shape)}}
         ll_i = np.asarray(engine.log_likelihoods(sched, bl, single))[i]
         assert abs(lls[i] - ll_i) < 1e-9
+
+
+def test_profiling_utilities(tmp_path):
+    """PhaseTimer accumulates synced phase times; device_trace writes a
+    profile directory (utils/profiling.py, SURVEY.md §5.1 equivalent)."""
+    import jax.numpy as jnp
+
+    from libsbn_tpu.utils import profiling
+
+    timer = profiling.PhaseTimer(sync=True)
+    x = jnp.ones((200, 200))
+    for _ in range(3):
+        y = timer.time_fn("matmul", lambda: x @ x)
+    assert timer.counts["matmul"] == 3
+    assert timer.total("matmul") > 0
+    assert "matmul" in timer.report()
+    with timer.phase("noop"):
+        pass
+    assert timer.mean("noop") is not None
+
+    logdir = str(tmp_path / "trace")
+    with profiling.device_trace(logdir):
+        with profiling.annotate("span"):
+            (x @ x).block_until_ready()
+    import os
+
+    assert os.path.isdir(logdir) and os.listdir(logdir)

@@ -35,7 +35,10 @@ if not _os.environ.get("LIBSBN_TPU_NO_CACHE"):
     )
     try:
         _jax_config.update("jax_compilation_cache_dir", _cache_dir)
-        _jax_config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # Only cache the expensive programs (deep GP DAGs, big training
+        # steps): caching every small CPU test program churns disk and
+        # XLA:CPU AOT reloads warn about machine-feature mismatches.
+        _jax_config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:  # pragma: no cover - older jax without the knobs
         pass
 

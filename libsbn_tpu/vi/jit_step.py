@@ -365,4 +365,11 @@ class JitVBPI:
             self.tips, self.weights, self.segment_ids,
             evec, ivec, evals, freqs, props, Q,
         )
+        # Warm the next step's host-side parameter read: the sampler needs
+        # sbn_params on host, and a synchronous device->host fetch costs a
+        # full link round trip on remote/tunneled chips.
+        try:
+            self.state.sbn_params.copy_to_host_async()
+        except AttributeError:  # pragma: no cover - backend without async copy
+            pass
         return metrics

@@ -172,6 +172,40 @@ def vbpi_train_step(
     return VBPIState(q_params, sbn_params, opt_state), metrics
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("statics", "optimizer", "shapes"),
+)
+def vbpi_train_step_packed(
+    state, statics, optimizer,
+    packed,  # (P, K) int32: the 8 schedule/representation arrays, flattened
+    eps, beta, shapes,  # static tuple of per-array trailing shapes
+    tips, weights, segment_ids,
+    evec, ivec, evals, freqs, props, Q,
+):
+    """vbpi_train_step with the int32 inputs packed into ONE buffer.
+
+    Over a high-latency link (remote/tunneled chips) nine per-step
+    device_puts cost nine round trips; packing makes it two (ints + eps).
+    Unpacking is free inside XLA (static slices/reshapes)."""
+    arrays = []
+    offset = 0
+    for shp in shapes:
+        n = 1
+        for d in shp:
+            n *= d
+        arrays.append(
+            packed[:, offset : offset + n].reshape((packed.shape[0],) + shp)
+        )
+        offset += n
+    sched5 = tuple(arrays[:5])
+    branch_rep, reps, touched = arrays[5], arrays[6], arrays[7]
+    return vbpi_train_step(
+        state, statics, optimizer, sched5, branch_rep, reps, touched, eps,
+        beta, tips, weights, segment_ids, evec, ivec, evals, freqs, props, Q,
+    )
+
+
 class JitVBPI:
     """Host driver around vbpi_train_step for an UnrootedInstance with a
     split-lognormal or PSP branch model. Optionally shards the particle axis
@@ -340,28 +374,39 @@ class JitVBPI:
         return sched5, branch_rep, reps, touched, eps
 
     def _device_put(self, sched5, branch_rep, reps, touched, eps):
+        """Pack the 8 int32 arrays into one (P, K) buffer + eps: two
+        transfers per step instead of nine (vbpi_train_step_packed)."""
         import numpy as np
 
-        arrays = sched5 + (branch_rep, reps, touched, eps.astype(self.dtype))
+        ints = sched5 + (branch_rep, reps, touched)
+        shapes = tuple(a.shape[1:] for a in ints)
+        P = ints[0].shape[0]
+        packed = np.concatenate(
+            [np.ascontiguousarray(a, dtype=np.int32).reshape(P, -1)
+             for a in ints],
+            axis=1,
+        )
+        eps = eps.astype(self.dtype)
         if self.mesh is not None:
             from ..parallel.sharding import particle_sharding
 
             sh = particle_sharding(self.mesh)
-            arrays = tuple(jax.device_put(np.asarray(a), sh) for a in arrays)
+            packed = jax.device_put(packed, sh)
+            eps = jax.device_put(np.asarray(eps), sh)
         else:
-            arrays = tuple(jnp.asarray(a) for a in arrays)
-        return arrays[:5], arrays[5], arrays[6], arrays[7], arrays[8]
+            packed = jnp.asarray(packed)
+            eps = jnp.asarray(eps)
+        return packed, eps, shapes
 
     def step(self, beta: float = 1.0):
-        sched, branch_rep, reps, touched, eps = self._host_sample()
-        sched5, branch_rep, reps, touched, eps = self._device_put(
-            sched, branch_rep, reps, touched, eps
+        sched5, branch_rep, reps, touched, eps = self._host_sample()
+        packed, eps, shapes = self._device_put(
+            sched5, branch_rep, reps, touched, eps
         )
         evec, ivec, evals, freqs, props, Q = self.model_tensors
-        self.state, metrics = vbpi_train_step(
+        self.state, metrics = vbpi_train_step_packed(
             self.state, self.statics, self.optimizer,
-            sched5, branch_rep, reps, touched, eps,
-            jnp.asarray(beta, self.dtype),
+            packed, eps, jnp.asarray(beta, self.dtype), shapes,
             self.tips, self.weights, self.segment_ids,
             evec, ivec, evals, freqs, props, Q,
         )

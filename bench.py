@@ -24,6 +24,8 @@ CPU_BASELINE_EVALS_PER_SEC = 360.0
 
 
 def main():
+    import os
+
     import jax
 
     sys.path.insert(0, "/root/repo")
@@ -39,14 +41,25 @@ def main():
     )
     bl = (bl0 * rng.uniform(0.8, 1.2, bl0.shape)).astype(np.float32)
 
-    jfn = jax.jit(fn)
-    out = jfn(post_node, post_children, up_node, up_parent, up_sibs, bl)
+    engine = os.environ.get(
+        "LIBSBN_TPU_BENCH_ENGINE",
+        "pallas" if jax.default_backend() == "tpu" else "scan",
+    )
+    if engine == "pallas":
+        jfn = jax.jit(ge.entry_pallas())
+        run = lambda: jfn(post_children, bl)  # noqa: E731
+    else:
+        jfn = jax.jit(fn)
+        run = lambda: jfn(  # noqa: E731
+            post_node, post_children, up_node, up_parent, up_sibs, bl
+        )
+    out = run()
     jax.block_until_ready(out)
     # Steady state.
     iters = 20
     t0 = time.time()
     for _ in range(iters):
-        out = jfn(post_node, post_children, up_node, up_parent, up_sibs, bl)
+        out = run()
     jax.block_until_ready(out)
     dt = time.time() - t0
     evals_per_sec = B * iters / dt

@@ -1,0 +1,101 @@
+"""Parity of the fused Pallas pruning kernel (interpret mode on CPU) against
+the scan engine — same math, so agreement is at float tolerance."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from libsbn_tpu.core.site_pattern import SitePattern
+from libsbn_tpu.io import newick
+from libsbn_tpu.io.fasta import Alignment
+from libsbn_tpu.ops import pruning, pruning_pallas, substitution
+from libsbn_tpu.ops import schedule as schedule_ops
+
+DATA = "/root/reference/data"
+
+
+@pytest.fixture(scope="module")
+def ds1():
+    tops, bls, ttm = newick.parse_nexus_file(f"{DATA}/DS1.subsampled_10.t")
+    aln = Alignment.read_fasta(f"{DATA}/DS1.fasta")
+    sp = SitePattern(aln, ttm)
+    sched = schedule_ops.schedules_of_topologies(tops)
+    return sched, np.stack(bls), sp
+
+
+def _scan_reference(sched, bl_p, sp, dtype):
+    freqs, evec, ivec, evals = substitution.jc69_eigen(dtype)
+    Q = substitution.jc69_q(dtype)
+    tips = jnp.asarray(sp.tip_partials(), dtype)
+    weights = jnp.asarray(sp.weights, dtype)
+    rates = jnp.ones((1,), dtype)
+    props = jnp.ones((1,), dtype)
+    lls, grads = [], []
+    for i in range(bl_p.shape[0]):
+        class _S:
+            pass
+
+        s = _S()
+        s.root_id = sched.root_id
+        s.post_node = sched.post_node[i]
+        s.post_children = sched.post_children[i]
+        s.up_node = sched.up_node[i]
+        s.up_parent = sched.up_parent[i]
+        s.up_sibs = sched.up_sibs[i]
+        P = pruning.node_transition_matrices(
+            evec, ivec, evals, jnp.asarray(bl_p[i], dtype), rates
+        )
+        ll, g = pruning.log_likelihood_and_branch_gradient(
+            s, P, Q[None], tips, freqs, props, weights, True
+        )
+        lls.append(float(ll))
+        grads.append(np.asarray(g))
+    return np.asarray(lls), np.stack(grads), (freqs, evec, ivec, evals, Q, rates)
+
+
+@pytest.mark.parametrize("dtype,tol", [(jnp.float64, 1e-9), (jnp.float32, 2e-2)])
+def test_pallas_matches_scan_engine(ds1, dtype, tol):
+    sched, bl, sp = ds1
+    bl_p = np.pad(bl, ((0, 0), (0, 1)))
+    lls_ref, grads_ref, (freqs, evec, ivec, evals, Q, rates) = _scan_reference(
+        sched, bl_p, sp, dtype
+    )
+    P_b = jax.vmap(
+        lambda b: pruning.node_transition_matrices(evec, ivec, evals, b, rates)
+    )(jnp.asarray(bl_p, dtype))
+    ll_p, g_p = pruning_pallas.log_likelihood_and_branch_gradient_pallas(
+        sched.post_children,
+        P_b,
+        Q[None],
+        np.asarray(sp.tip_partials()),
+        np.asarray(freqs),
+        np.asarray(sp.weights),
+        root_id=sched.root_id,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(ll_p), lls_ref, rtol=0, atol=tol)
+    np.testing.assert_allclose(
+        np.asarray(g_p), grads_ref, rtol=tol, atol=tol * 10
+    )
+
+
+def test_pallas_hello_golden():
+    """hello LL golden −84.852358 (unrooted_sbn_instance.hpp:206-214)."""
+    tops, bls, ttm = newick.parse_newick_file(f"{DATA}/hello.nwk")
+    aln = Alignment.read_fasta(f"{DATA}/hello.fasta")
+    sp = SitePattern(aln, ttm)
+    sched = schedule_ops.schedules_of_topologies(tops)
+    bl_p = np.pad(np.stack(bls), ((0, 0), (0, 1)))
+    freqs, evec, ivec, evals = substitution.jc69_eigen(jnp.float64)
+    Q = substitution.jc69_q(jnp.float64)
+    rates = jnp.ones((1,), jnp.float64)
+    P_b = jax.vmap(
+        lambda b: pruning.node_transition_matrices(evec, ivec, evals, b, rates)
+    )(jnp.asarray(bl_p))
+    ll, _ = pruning_pallas.log_likelihood_and_branch_gradient_pallas(
+        sched.post_children, P_b, Q[None], np.asarray(sp.tip_partials()),
+        np.asarray(freqs), np.asarray(sp.weights),
+        root_id=sched.root_id, interpret=True,
+    )
+    np.testing.assert_allclose(float(ll[0]), -84.852358, atol=1e-6)

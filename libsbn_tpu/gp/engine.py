@@ -153,7 +153,18 @@ class GPEngine:
         ls_phat = jnp.zeros(N + 1, bl.dtype)
         ls_phattilde = jnp.zeros(N + 1, bl.dtype)
 
-        def side(pa, ch, g, buf, ls_buf, nh, p, ls_p):
+        # Scatter-free level updates: XLA's scatter lowering dominated TPU
+        # compile time (~400 s cold on fluA; docs/performance.md), so the
+        # per-level accumulations are one-hot contractions (MXU work) and
+        # the per-level node finishes are dense masked selects. Exactness:
+        # every node is finished in exactly ONE level, so "+ onehot^T @
+        # contrib" == scatter-add and the dense where == scatter-set.
+        iota_n = jnp.arange(N + 1, dtype=jnp.int32)
+
+        def _mask_of(idx):
+            return jnp.any(idx[:, None] == iota_n[None, :], axis=0)  # (N+1,)
+
+        def side(pa, ch, g, buf, ls_buf, p, ls_p):
             """One rot-group of one rootward level: evolve children along
             their edges, align scales (dest scale = min over in-edge child
             scales) and accumulate into the parent's phat buffer."""
@@ -161,30 +172,35 @@ class GPEngine:
             contrib = q_ext[g][:, None, None] * jnp.einsum(
                 "eij,ejs->eis", P, p[ch]
             )
-            m = jnp.full((N + 1,), np.inf, bl.dtype).at[pa].min(ls_p[ch])
-            factor = jnp.exp(ls_p[ch] - m[pa])
-            buf = buf.at[pa].add(contrib * factor[:, None, None])
-            # A level with no edges of this orientation leaves the parents'
-            # scale untouched (m would be +inf there).
-            m_nh = m[nh]
-            ls_buf = ls_buf.at[nh].set(
-                jnp.where(jnp.isfinite(m_nh), m_nh, ls_buf[nh])
+            oh = (pa[:, None] == iota_n[None, :]).astype(bl.dtype)  # (W, N+1)
+            lsch = ls_p[ch]
+            m = jnp.min(
+                jnp.where(oh > 0, lsch[:, None], jnp.asarray(np.inf, bl.dtype)),
+                axis=0,
+            )  # (N+1,)
+            factor = jnp.exp(lsch - m[pa])
+            buf = buf + jnp.einsum(
+                "wn,wis->nis", oh, contrib * factor[:, None, None]
             )
+            # A level with no edges of this orientation leaves the parents'
+            # scale untouched (m is +inf there).
+            ls_buf = jnp.where(jnp.isfinite(m), m, ls_buf)
             return buf, ls_buf
 
         def rw_body(carry, xs):
             p, ls_p, phat, phattilde, ls_phat, ls_phattilde = carry
             pa0, ch0, g0, pa1, ch1, g1, nh = xs
-            phat, ls_phat = side(pa0, ch0, g0, phat, ls_phat, nh, p, ls_p)
+            phat, ls_phat = side(pa0, ch0, g0, phat, ls_phat, p, ls_p)
             phattilde, ls_phattilde = side(
-                pa1, ch1, g1, phattilde, ls_phattilde, nh, p, ls_p
+                pa1, ch1, g1, phattilde, ls_phattilde, p, ls_p
             )
-            new_p = phat[nh] * phattilde[nh]
+            mask = _mask_of(nh)
+            new_p = phat * phattilde
             mx = jnp.max(new_p, axis=(1, 2))
             mx = jnp.where(mx > 0, mx, 1.0)
-            p = p.at[nh].set(new_p / mx[:, None, None])
-            ls_p = ls_p.at[nh].set(
-                ls_phat[nh] + ls_phattilde[nh] + jnp.log(mx)
+            p = jnp.where(mask[:, None, None], new_p / mx[:, None, None], p)
+            ls_p = jnp.where(
+                mask, ls_phat + ls_phattilde + jnp.log(mx), ls_p
             )
             return (p, ls_p, phat, phattilde, ls_phat, ls_phattilde), None
 
@@ -240,15 +256,35 @@ class GPEngine:
             contrib = q_ext[g][:, None, None] * jnp.einsum(
                 "eij,ejs->eis", P, src
             )
-            m = jnp.full((N + 1,), np.inf, bl.dtype).at[ch].min(ls_src)
-            factor = jnp.exp(ls_src - m[ch])
-            rhat = rhat.at[ch].add(contrib * factor[:, None, None])
-            m_nh = m[nh]
-            ls_rhat = ls_rhat.at[nh].set(
-                jnp.where(jnp.isfinite(m_nh), m_nh, ls_rhat[nh])
+            # Scatter-free (see rootward pass): one-hot accumulate + dense
+            # masked finishes.
+            oh = (ch[:, None] == iota_n[None, :]).astype(bl.dtype)
+            m = jnp.min(
+                jnp.where(
+                    oh > 0, ls_src[:, None], jnp.asarray(np.inf, bl.dtype)
+                ),
+                axis=0,
             )
-            r, rtilde, ls_r, ls_rtilde = finish_r(
-                nh, rhat, ls_rhat, r, rtilde, ls_r, ls_rtilde
+            factor = jnp.exp(ls_src - m[ch])
+            rhat = rhat + jnp.einsum(
+                "wn,wis->nis", oh, contrib * factor[:, None, None]
+            )
+            ls_rhat = jnp.where(jnp.isfinite(m), m, ls_rhat)
+            mask = _mask_of(nh)
+            new_r = rhat * phattilde
+            new_rt = rhat * phat
+            mx_r = jnp.max(new_r, axis=(1, 2))
+            mx_rt = jnp.max(new_rt, axis=(1, 2))
+            mx_r = jnp.where(mx_r > 0, mx_r, 1.0)
+            mx_rt = jnp.where(mx_rt > 0, mx_rt, 1.0)
+            m3 = mask[:, None, None]
+            r = jnp.where(m3, new_r / mx_r[:, None, None], r)
+            rtilde = jnp.where(m3, new_rt / mx_rt[:, None, None], rtilde)
+            ls_r = jnp.where(
+                mask, ls_rhat + ls_phattilde + jnp.log(mx_r), ls_r
+            )
+            ls_rtilde = jnp.where(
+                mask, ls_rhat + ls_phat + jnp.log(mx_rt), ls_rtilde
             )
             return (rhat, ls_rhat, r, rtilde, ls_r, ls_rtilde), None
 

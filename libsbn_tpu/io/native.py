@@ -96,6 +96,22 @@ def get_lib():
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32),
         ]
+    if hasattr(lib, "lsbn_psp_create"):
+        lib.lsbn_psp_create.restype = ctypes.c_void_p
+        lib.lsbn_psp_create.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32, ctypes.c_int32,
+        ]
+        lib.lsbn_psp_free.restype = None
+        lib.lsbn_psp_free.argtypes = [ctypes.c_void_p]
+        lib.lsbn_psp_representations.restype = ctypes.c_int32
+        lib.lsbn_psp_representations.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
     _lib = lib
     return _lib
 
@@ -235,6 +251,62 @@ class NativeIndexerHandle:
         handle = getattr(self, "_handle", None)
         if handle:
             self._lib.lsbn_indexer_free(handle)
+
+
+class NativePSPHandle:
+    """Persistent C++ hash-map handle for PSP branch representations of
+    canonical parent-id vectors (psp_indexer.cpp RepresentationOf)."""
+
+    def __init__(self, split_items, subsplit_items, taxon_count: int):
+        """split_items: [(bits, index)] size-n rootsplit keys; subsplit_items:
+        [(bits, index)] size-2n focal|min-child subsplit keys."""
+        lib = get_lib()
+        if lib is None or not hasattr(lib, "lsbn_psp_create"):
+            raise RuntimeError("native PSP indexer unavailable")
+        self._lib = lib
+        self.taxon_count = taxon_count
+        n = taxon_count
+        W = (n + 63) // 64
+        split_keys = np.ascontiguousarray(
+            _pack_clade_words([b for b, _ in split_items], n, W)
+        )
+        mask_n = (1 << n) - 1
+        rows = []
+        for bits, _ in subsplit_items:
+            chunks = [(bits >> n) & mask_n, bits & mask_n]
+            rows.append(_pack_clade_words(chunks, n, W).reshape(-1))
+        sub_keys = np.ascontiguousarray(
+            np.stack(rows) if rows else np.empty((0, 2 * W), dtype=np.uint64)
+        )
+        split_vals = np.asarray([i for _, i in split_items], dtype=np.int32)
+        sub_vals = np.asarray([i for _, i in subsplit_items], dtype=np.int32)
+        self._handle = lib.lsbn_psp_create(
+            split_keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            split_vals.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(split_items),
+            sub_keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            sub_vals.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(subsplit_items), taxon_count,
+        )
+
+    def representations(self, parent_vectors: np.ndarray, sentinel: int):
+        """(T, 3, E) int32 PSP rows [rootsplit, down, up], or None."""
+        pv = np.ascontiguousarray(parent_vectors, dtype=np.int32)
+        T, nm1 = pv.shape
+        n_nodes = nm1 + 1
+        out = np.empty((T, 3, n_nodes - 1), dtype=np.int32)
+        rc = self._lib.lsbn_psp_representations(
+            self._handle,
+            pv.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            T, n_nodes, sentinel,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return out if rc == 0 else None
+
+    def __del__(self):
+        handle = getattr(self, "_handle", None)
+        if handle:
+            self._lib.lsbn_psp_free(handle)
 
 
 def sample_topologies(probs, root_tab, child_tab, n_taxa: int,

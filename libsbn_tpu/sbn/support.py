@@ -255,6 +255,40 @@ class PSPIndexer:
         rev = self.to_string_vector()
         return [[rev[i] for i in part] for part in self.representation_of(top)]
 
+    def native_handle(self):
+        """Cached C++ PSP handle (io/native.py NativePSPHandle) or None."""
+        cached = getattr(self, "_native_cache", "unset")
+        if cached != "unset":
+            return cached
+        handle = None
+        try:
+            from ..io import native
+
+            split_items = []
+            subsplit_items = []
+            n = None
+            for b, i in self.indexer.items():
+                if i < self.after_rootsplits_index:
+                    split_items.append((b.bits, i))
+                    n = b.size
+                else:
+                    subsplit_items.append((b.bits, i))
+            if n is not None:
+                handle = native.NativePSPHandle(split_items, subsplit_items, n)
+        except Exception:
+            handle = None
+        self._native_cache = handle
+        return handle
+
+    def dense_representations_of_parent_vectors(self, parent_vectors):
+        """(T, 3, E) int32 PSP rows [rootsplit, down, up] straight from
+        canonical parent-id vectors via the native core, sentinel =
+        first_empty_index. Returns None when unavailable."""
+        handle = self.native_handle()
+        if handle is None:
+            return None
+        return handle.representations(parent_vectors, self.first_empty_index)
+
     def split_lengths(self, tree_collection) -> List[List[float]]:
         """ith entry: branch lengths observed for the ith split across the
         collection (psp_indexer.cpp SplitLengths)."""

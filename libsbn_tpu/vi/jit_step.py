@@ -209,7 +209,14 @@ def vbpi_train_step_packed(
 class JitVBPI:
     """Host driver around vbpi_train_step for an UnrootedInstance with a
     split-lognormal or PSP branch model. Optionally shards the particle axis
-    over a mesh ("dp") with replicated model constants."""
+    over a mesh ("dp") with replicated model constants.
+
+    Multi-host: pass a GLOBAL mesh (parallel.distributed.global_mesh) from
+    every process; particle_count is the global batch, each process samples
+    its particle_count / process_count local rows and the step assembles
+    them into one dp-sharded global array
+    (jax.make_array_from_process_local_data). Gradients allreduce over
+    ICI/DCN via XLA's inserted psums."""
 
     def __init__(self, inst, particle_count: int, mesh=None, use_vimco=True,
                  scalar_lr=1e-3, sbn_lr=1e-3, dtype=None, seed=0, rescale=True,
@@ -221,8 +228,14 @@ class JitVBPI:
 
         self.inst = inst
         self.particle_count = particle_count
+        self.local_particle_count = particle_count
+        if jax.process_count() > 1:
+            assert mesh is not None, "multi-host runs need a global mesh"
+            assert particle_count % jax.process_count() == 0
+            self.local_particle_count = particle_count // jax.process_count()
         self.mesh = mesh
-        self.rng = np.random.default_rng(seed)
+        # Decorrelate per-host sampling streams.
+        self.rng = np.random.default_rng(seed + 7919 * jax.process_index())
         self._artifact_cache = {}
         dtype = dtype or jnp.float64
         self.dtype = dtype
@@ -291,20 +304,29 @@ class JitVBPI:
         support = self.inst.sbn_support
         psp = self.statics.psp
         rep = None
-        if top is None and not psp and not isinstance(key, Topology):
+        if top is None and not isinstance(key, Topology):
             pv = np.asarray(key, dtype=np.int32)
             reps = support.dense_representations_of_parent_vectors(pv[None])
             sched_dict = native.build_schedules(
                 pv[None], support.taxon_count()
             )
+            branch_rep = None
             if reps is not None and sched_dict is not None:
+                if psp:
+                    # Native PSP rows (lsbn_psp_representations).
+                    prep = self.inst.psp_indexer.\
+                        dense_representations_of_parent_vectors(pv[None])
+                    if prep is not None:
+                        branch_rep = np.ascontiguousarray(prep[0])
+                else:
+                    branch_rep = np.ascontiguousarray(reps[0][None, :, 0])
+            if branch_rep is not None:
                 rep = reps[0]
                 sched5_one = (
                     sched_dict["post_node"][0], sched_dict["post_children"][0],
                     sched_dict["up_node"][0], sched_dict["up_parent"][0],
                     sched_dict["up_sibs"][0],
                 )
-                branch_rep = np.ascontiguousarray(rep[None, :, 0])
         if rep is None:
             if top is None:
                 top = key if isinstance(key, Topology) else (
@@ -351,7 +373,7 @@ class JitVBPI:
         native_sampler = self._get_native_sampler()
         native_sampler.refresh_parameters(self.inst.sbn_parameters)
         pvs = native_sampler.sample_parent_vectors(
-            self.particle_count, rooted=False
+            self.local_particle_count, rooted=False
         )
         if pvs is not None:
             artifacts = [
@@ -362,7 +384,7 @@ class JitVBPI:
             sampler = self.inst._get_sampler()
             tops = [
                 sampler.sample_topology(rooted=False)
-                for _ in range(self.particle_count)
+                for _ in range(self.local_particle_count)
             ]
             artifacts = [self._topology_artifacts(t) for t in tops]
         stacked = [np.stack(column) for column in zip(*artifacts)]
@@ -386,13 +408,14 @@ class JitVBPI:
              for a in ints],
             axis=1,
         )
-        eps = eps.astype(self.dtype)
+        eps = np.asarray(eps.astype(self.dtype))
         if self.mesh is not None:
+            from ..parallel.distributed import from_process_local
             from ..parallel.sharding import particle_sharding
 
             sh = particle_sharding(self.mesh)
-            packed = jax.device_put(packed, sh)
-            eps = jax.device_put(np.asarray(eps), sh)
+            packed = from_process_local(sh, packed, self.particle_count)
+            eps = from_process_local(sh, eps, self.particle_count)
         else:
             packed = jnp.asarray(packed)
             eps = jnp.asarray(eps)

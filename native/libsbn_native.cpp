@@ -840,6 +840,177 @@ int32_t lsbn_indexer_representations(void* handle,
   return 0;
 }
 
+// -- PSP representations -----------------------------------------------------
+// Primary-subsplit-pair branch representations (psp_indexer.cpp
+// RepresentationOf; Python port sbn/support.py PSPIndexer.representation_of):
+// per tree, three rows indexed by node id — rootsplit / subsplit-down /
+// subsplit-up PSP indices, sentinel where absent. Keys: rootsplit = the
+// minorized clade below the node (W words); subsplit = focal clade + the
+// lexicographically smaller of the two child clades (2W words). Values are
+// traversal-order independent, so a simple recursion over canonical
+// parent-id vectors suffices.
+
+namespace {
+
+struct NativePSP {
+  int n_taxa = 0;
+  int W = 0;
+  std::unordered_map<std::string, int32_t> splits;     // W-word keys
+  std::unordered_map<std::string, int32_t> subsplits;  // 2W-word keys
+};
+
+struct PSPBuilder {
+  const NativePSP* ix;
+  const Clades* clades;
+  const std::vector<std::vector<int>>* children;
+  int32_t sentinel;
+  int E;
+  int32_t* root_row;  // each (E,)
+  int32_t* down_row;
+  int32_t* up_row;
+
+  void clade_of(int node, bool flip, uint64_t* dst) const {
+    const uint64_t* src = clades->of(node);
+    for (int w = 0; w < clades->W; ++w) {
+      dst[w] = flip ? (~src[w] & clades->mask(w)) : src[w];
+    }
+  }
+
+  int32_t split_index(int node) const {
+    const int W = clades->W;
+    std::vector<uint64_t> a(W), b(W);
+    clade_of(node, false, a.data());
+    clade_of(node, true, b.data());
+    const uint64_t* mn = CladeLess(a.data(), b.data(), W) ? a.data() : b.data();
+    auto it = ix->splits.find(KeyOf(mn, W));
+    return it == ix->splits.end() ? sentinel : it->second;
+  }
+
+  // z + min(z1, z2) with (node, flip) triples.
+  int32_t subsplit_index(int z1, bool f1, int z2, bool f2, int z,
+                         bool fz) const {
+    const int W = clades->W;
+    std::vector<uint64_t> key(2 * W), c1(W), c2(W);
+    clade_of(z, fz, key.data());
+    clade_of(z1, f1, c1.data());
+    clade_of(z2, f2, c2.data());
+    const uint64_t* mn =
+        CladeLess(c1.data(), c2.data(), W) ? c1.data() : c2.data();
+    std::copy(mn, mn + W, key.data() + W);
+    auto it = ix->subsplits.find(KeyOf(key.data(), 2 * W));
+    return it == ix->subsplits.end() ? sentinel : it->second;
+  }
+
+  void f_root(int n0, int n1, int n2) {
+    root_row[n0] = split_index(n0);
+    up_row[n0] = subsplit_index(n1, false, n2, false, n0, true);
+  }
+
+  void recur(int node, int sister, int parent) {
+    root_row[node] = split_index(node);
+    up_row[node] = subsplit_index(parent, true, sister, false, node, true);
+    down_row[parent] = subsplit_index(node, false, sister, false, parent, false);
+    const auto& kids = (*children)[node];
+    if (!kids.empty()) {
+      recur(kids[0], kids[1], node);
+      recur(kids[1], kids[0], node);
+    }
+  }
+
+  void run(int root_id) {
+    const auto& rc = (*children)[root_id];
+    for (int i = 0; i < 3; ++i) {
+      const int n = rc[i], s = rc[(i + 1) % 3], p = rc[(i + 2) % 3];
+      f_root(n, s, p);
+      const auto& kids = (*children)[n];
+      if (!kids.empty()) {
+        recur(kids[0], kids[1], n);
+        recur(kids[1], kids[0], n);
+      }
+    }
+  }
+};
+
+}  // namespace
+
+void* lsbn_psp_create(const uint64_t* split_keys, const int32_t* split_vals,
+                      int32_t n_splits, const uint64_t* subsplit_keys,
+                      const int32_t* subsplit_vals, int32_t n_subsplits,
+                      int32_t n_taxa) {
+  auto* ix = new NativePSP();
+  ix->n_taxa = n_taxa;
+  ix->W = (n_taxa + 63) / 64;
+  ix->splits.reserve(n_splits * 2);
+  ix->subsplits.reserve(n_subsplits * 2);
+  for (int32_t i = 0; i < n_splits; ++i) {
+    ix->splits.emplace(
+        KeyOf(split_keys + static_cast<size_t>(i) * ix->W, ix->W),
+        split_vals[i]);
+  }
+  for (int32_t i = 0; i < n_subsplits; ++i) {
+    ix->subsplits.emplace(
+        KeyOf(subsplit_keys + static_cast<size_t>(i) * 2 * ix->W, 2 * ix->W),
+        subsplit_vals[i]);
+  }
+  return ix;
+}
+
+void lsbn_psp_free(void* handle) { delete static_cast<NativePSP*>(handle); }
+
+// out: (n_trees, 3, E) rows [rootsplit, down, up] per node id.
+int32_t lsbn_psp_representations(void* handle, const int32_t* parent_vectors,
+                                 int32_t n_trees, int32_t n_nodes,
+                                 int32_t sentinel, int32_t* out) {
+  auto* ix = static_cast<NativePSP*>(handle);
+  const int n_taxa = ix->n_taxa;
+  const int W = ix->W;
+  const int E = n_nodes - 1;
+  const int root_id = n_nodes - 1;
+
+  std::vector<std::vector<int>> children(n_nodes);
+  Clades clades;
+  clades.n_taxa = n_taxa;
+  clades.W = W;
+  clades.data.assign(static_cast<size_t>(n_nodes) * W, 0);
+
+  for (int t = 0; t < n_trees; ++t) {
+    const int32_t* pv = parent_vectors + static_cast<size_t>(t) * E;
+    for (auto& c : children) c.clear();
+    for (int i = 0; i < E; ++i) {
+      if (pv[i] < 0 || pv[i] >= n_nodes) return 1;
+      children[pv[i]].push_back(i);
+    }
+    if (children[root_id].size() != 3) return 2;
+    std::fill(clades.data.begin(), clades.data.end(), 0);
+    for (int node = 0; node < n_nodes; ++node) {
+      uint64_t* dst = clades.of(node);
+      if (children[node].empty()) {
+        if (node >= n_taxa) return 3;
+        dst[node / 64] |= 1ull << (63 - node % 64);
+      } else {
+        for (const int c : children[node]) {
+          if (c >= node) return 4;
+          const uint64_t* src = clades.of(c);
+          for (int w = 0; w < W; ++w) dst[w] |= src[w];
+        }
+      }
+    }
+    int32_t* tree_out = out + static_cast<size_t>(t) * 3 * E;
+    std::fill(tree_out, tree_out + 3 * E, sentinel);
+    PSPBuilder pb;
+    pb.ix = ix;
+    pb.clades = &clades;
+    pb.children = &children;
+    pb.sentinel = sentinel;
+    pb.E = E;
+    pb.root_row = tree_out;
+    pb.down_row = tree_out + E;
+    pb.up_row = tree_out + 2 * E;
+    pb.run(root_id);
+  }
+  return 0;
+}
+
 }  // extern "C"
 
 // -- SBN topology sampling --------------------------------------------------

@@ -217,3 +217,25 @@ def test_native_indexer_representations_match_python(lib, data_dir):
     for t in range(len(tops)):
         for e in range(reps_py.shape[1]):
             assert sorted(reps_native[t, e]) == sorted(reps_py[t, e])
+
+
+def test_native_psp_representations_match_python(lib, data_dir):
+    """Native PSP branch representations equal PSPIndexer.representation_of
+    (native/libsbn_native.cpp lsbn_psp_representations vs sbn/support.py)."""
+    from libsbn_tpu import UnrootedInstance
+    from libsbn_tpu.sbn import sampling
+
+    inst = UnrootedInstance("DS1")
+    inst.read_nexus_file(f"{data_dir}/DS1.subsampled_10.t")
+    inst.process_loaded_trees()
+    inst.train_simple_average()
+    psp = inst.psp_indexer
+
+    ns = sampling.NativeSBNSampler(inst.sbn_support, inst.sbn_parameters, seed=7)
+    pvs = ns.sample_parent_vectors(30, rooted=False)
+    reps_native = psp.dense_representations_of_parent_vectors(pvs)
+    assert reps_native is not None
+    for t, pv in enumerate(pvs):
+        top = Topology.of_parent_id_vector(list(map(int, pv)))
+        rep_py = np.asarray(psp.representation_of(top), dtype=np.int32)
+        np.testing.assert_array_equal(reps_native[t], rep_py)

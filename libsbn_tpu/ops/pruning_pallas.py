@@ -263,20 +263,19 @@ def _pallas_ll_grad(
 
 def pad_patterns(tips, weights, multiple: int = 128):
     """Pad the pattern axis to a lane multiple: tips with ones (numerically
-    inert), weights with zeros. tips: (L, 4, Pp) -> (L, 4, PT)."""
+    inert), weights with zeros. tips: (L, 4, Pp) -> (L, 4, PT). jnp ops, so
+    it traces inside jit (static shapes) and accepts numpy inputs."""
     n_pat = weights.shape[0]
     PT = ((n_pat + multiple - 1) // multiple) * multiple
     if PT == n_pat:
         return tips, weights
-    tips_p = np.concatenate(
-        [
-            np.asarray(tips),
-            np.ones(tips.shape[:2] + (PT - n_pat,), np.asarray(tips).dtype),
-        ],
-        axis=-1,
+    tips = jnp.asarray(tips)
+    weights = jnp.asarray(weights)
+    tips_p = jnp.concatenate(
+        [tips, jnp.ones(tips.shape[:2] + (PT - n_pat,), tips.dtype)], axis=-1
     )
-    w_p = np.concatenate(
-        [np.asarray(weights), np.zeros((PT - n_pat,), np.asarray(weights).dtype)]
+    w_p = jnp.concatenate(
+        [weights, jnp.zeros((PT - n_pat,), weights.dtype)]
     )
     return tips_p, w_p
 
@@ -300,7 +299,7 @@ def log_likelihood_and_branch_gradient_pallas(
         assert Q.shape[0] == 1, "pallas path supports K = 1 only"
         Q = Q[0]
     leaf_count = tips.shape[0]
-    tips_p, w_p = pad_patterns(np.asarray(tips), np.asarray(weights))
+    tips_p, w_p = pad_patterns(tips, weights)
     w2 = jnp.asarray(w_p, P.dtype)[None, :]
     f2 = jnp.asarray(freqs, P.dtype)[None, :]
     ll, grad = _pallas_ll_grad(

@@ -48,6 +48,10 @@ class VBPIStatics(NamedTuple):
     # lognormal parameters sum (ICLR 2019); the last q_params row is the
     # zeroed sentinel for absent components (branch_models.py PSPModel).
     psp: bool = False
+    # Run the pruning likelihood+gradient through the fused Pallas kernel
+    # (ops/pruning_pallas.py). TPU single-mesh only; the scan engine remains
+    # the portable/sharded path.
+    use_pallas: bool = False
 
 
 def make_optimizer(scalar_lr=1e-3, sbn_lr=1e-3):
@@ -105,20 +109,37 @@ def vbpi_train_step(
     rates = jnp.ones((1,), theta.dtype)  # constant site model
     Qs = Q[None]  # (1, 4, 4) differential matrix, category rate 1
 
-    def one(sched5_one, bl):
-        Pm = pruning.node_transition_matrices(evec, ivec, evals, bl, rates)
+    if statics.use_pallas:
+        from ..ops import pruning_pallas
 
-        class _S:
-            pass
-
-        s = _S()
-        s.root_id = statics.root_id
-        (s.post_node, s.post_children, s.up_node, s.up_parent, s.up_sibs) = sched5_one
-        return pruning.log_likelihood_and_branch_gradient(
-            s, Pm, Qs, tips, freqs, props, weights, statics.rescale
+        P_b = jax.vmap(
+            lambda bl: pruning.node_transition_matrices(
+                evec, ivec, evals, bl, rates
+            )
+        )(bl_padded)
+        lls, bgrads = pruning_pallas.log_likelihood_and_branch_gradient_pallas(
+            sched5[1], P_b, Qs, tips, freqs, weights,
+            root_id=statics.root_id,
         )
+    else:
+        def one(sched5_one, bl):
+            Pm = pruning.node_transition_matrices(evec, ivec, evals, bl, rates)
 
-    lls, bgrads = jax.vmap(one, in_axes=((0, 0, 0, 0, 0), 0))(sched5, bl_padded)
+            class _S:
+                pass
+
+            s = _S()
+            s.root_id = statics.root_id
+            (s.post_node, s.post_children, s.up_node, s.up_parent, s.up_sibs) = (
+                sched5_one
+            )
+            return pruning.log_likelihood_and_branch_gradient(
+                s, Pm, Qs, tips, freqs, props, weights, statics.rescale
+            )
+
+        lls, bgrads = jax.vmap(one, in_axes=((0, 0, 0, 0, 0), 0))(
+            sched5, bl_padded
+        )
 
     # 3. Scalar lognormal gradient, eq:dLdPsi: each branch's per-occurrence
     # contribution scatters onto all C of its component variables
@@ -220,7 +241,7 @@ class JitVBPI:
 
     def __init__(self, inst, particle_count: int, mesh=None, use_vimco=True,
                  scalar_lr=1e-3, sbn_lr=1e-3, dtype=None, seed=0, rescale=True,
-                 branch_model: str = "split"):
+                 branch_model: str = "split", use_pallas=None):
         import numpy as np
 
         from ..models.phylo_model import PhyloModelSpec
@@ -276,6 +297,34 @@ class JitVBPI:
             rescale=rescale,
             use_vimco=use_vimco,
             psp=(branch_model == "psp"),
+            # Fused Pallas pruning kernel (TPU, single mesh, f32). Off by
+            # default: at VBPI particle counts (10-50) the step is dispatch-
+            # bound and the kernel's fixed launch cost LOST to the scan
+            # engine on the tunneled chip (92.6 vs 38.9 ms/step at P=10,
+            # parity at P=50); it wins for large batches (see bench.py).
+            use_pallas=False if use_pallas is None else use_pallas,
+        )
+
+    def mode_match(self, split_modes):
+        """Mode-matched lognormal initialization from per-split branch-length
+        modes (scalar_model.py:95-101 / branch_model.py PSPModel.mode_match),
+        e.g. the last MCMC sample's split lengths (benchmark.py:61). Resets
+        the optimizer state."""
+        import numpy as np
+
+        split_modes = np.asarray(split_modes)
+        q = np.zeros(np.asarray(self.state.q_params).shape)
+        log_modes = np.log(np.clip(split_modes, 1e-6, None))
+        biclipped = np.log(np.clip(split_modes, 1e-6, 1 - 1e-6))
+        n_split = split_modes.size
+        if self.branch_model == "split":
+            assert n_split == q.shape[0]
+        q[:n_split, 1] = -0.1 * biclipped
+        q[:n_split, 0] = np.square(q[:n_split, 1]) + log_modes
+        if self.branch_model == "psp":
+            q[-1] = 0.0  # sentinel row
+        self.state = init_state(
+            jnp.asarray(q, self.dtype), self.state.sbn_params, self.optimizer
         )
 
     def _topology_artifacts(self, key, top=None):

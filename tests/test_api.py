@@ -243,3 +243,38 @@ def test_profiling_utilities(tmp_path):
     import os
 
     assert os.path.isdir(logdir) and os.listdir(logdir)
+
+
+def test_jitvbpi_mode_match_matches_branch_models():
+    """JitVBPI.mode_match reproduces SplitModel/PSPModel.mode_match."""
+    import numpy as np
+
+    from libsbn_tpu import UnrootedInstance
+    from libsbn_tpu.models.phylo_model import PhyloModelSpec
+    from libsbn_tpu.vi import branch_models
+    from libsbn_tpu.vi.jit_step import JitVBPI
+
+    inst = UnrootedInstance("mm")
+    inst.read_nexus_file("/root/reference/data/hello_out.t")
+    inst.process_loaded_trees()
+    inst.train_simple_average()
+    inst.read_fasta_file("/root/reference/data/hello.fasta")
+    inst.prepare_for_phylo_likelihood(
+        PhyloModelSpec("JC69", "constant", "strict")
+    )
+    n_split = inst.psp_indexer.details()["after_rootsplits_index"]
+    rng = np.random.default_rng(3)
+    modes = rng.uniform(0.01, 0.4, n_split)
+
+    for name, cls in (("split", branch_models.SplitModel),
+                      ("psp", branch_models.PSPModel)):
+        bm = cls("lognormal", inst)
+        bm.mode_match(modes)
+        expected = np.asarray(
+            bm.scalar_model.q_params if name == "split" else bm.q_params
+        )
+        jv = JitVBPI(inst, particle_count=2, seed=0, branch_model=name)
+        jv.mode_match(modes)
+        np.testing.assert_allclose(
+            np.asarray(jv.state.q_params), expected, atol=1e-12
+        )

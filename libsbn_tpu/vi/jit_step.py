@@ -227,6 +227,36 @@ def vbpi_train_step_packed(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("statics", "optimizer", "shapes"),
+)
+def vbpi_train_steps_packed(
+    state, statics, optimizer,
+    packed_k,  # (K, P, W) int32
+    eps_k,  # (K, P, B)
+    betas,  # (K,)
+    shapes,
+    tips, weights, segment_ids,
+    evec, ivec, evals, freqs, props, Q,
+):
+    """K training steps in ONE dispatch (lax.scan over steps). Topologies
+    for all K steps were sampled from the SBN as of the dispatch — within
+    the window the sampler is up to K-1 updates stale, which the MC
+    gradient tolerates; branch sampling and all updates use live params."""
+
+    def body(state, xs):
+        packed, eps, beta = xs
+        new_state, metrics = vbpi_train_step_packed(
+            state, statics, optimizer, packed, eps, beta, shapes,
+            tips, weights, segment_ids, evec, ivec, evals, freqs, props, Q,
+        )
+        return new_state, metrics
+
+    state, metrics = jax.lax.scan(body, state, (packed_k, eps_k, betas))
+    return state, metrics
+
+
 class JitVBPI:
     """Host driver around vbpi_train_step for an UnrootedInstance with a
     split-lognormal or PSP branch model. Optionally shards the particle axis
@@ -469,6 +499,68 @@ class JitVBPI:
             packed = jnp.asarray(packed)
             eps = jnp.asarray(eps)
         return packed, eps, shapes
+
+    def step_many(self, n_steps: int, beta=1.0):
+        """n_steps gradient steps in ONE device dispatch.
+
+        Over a high-latency link the per-step dispatch/sync dominates at
+        small particle counts; this queues K steps as a device-side
+        lax.scan. Topologies for the whole window are sampled from the SBN
+        as of dispatch (up to K-1 updates stale; branch sampling and all
+        parameter updates stay live). beta may be a scalar or a (K,)
+        annealing schedule. Returns metrics stacked over steps ((K,)
+        arrays). Single-host only."""
+        import numpy as np
+
+        assert jax.process_count() == 1, "step_many is single-host"
+        K, P = int(n_steps), self.local_particle_count
+        self.inst.sbn_parameters = np.asarray(self.state.sbn_params)
+        native_sampler = self._get_native_sampler()
+        native_sampler.refresh_parameters(self.inst.sbn_parameters)
+        pvs = native_sampler.sample_parent_vectors(K * P, rooted=False)
+        if pvs is not None:
+            artifacts = [
+                self._topology_artifacts(tuple(map(int, row))) for row in pvs
+            ]
+        else:
+            self.inst._sampler = None
+            sampler = self.inst._get_sampler()
+            artifacts = [
+                self._topology_artifacts(sampler.sample_topology(rooted=False))
+                for _ in range(K * P)
+            ]
+        stacked = [np.stack(column) for column in zip(*artifacts)]
+        ints = tuple(stacked[:8])
+        shapes = tuple(a.shape[1:] for a in ints)
+        packed = np.concatenate(
+            [np.ascontiguousarray(a, dtype=np.int32).reshape(K * P, -1)
+             for a in ints],
+            axis=1,
+        )
+        packed_k = packed.reshape(K, P, packed.shape[1])
+        n_branches = stacked[5].shape[-1]
+        eps_k = self.rng.standard_normal((K, P, n_branches)).astype(self.dtype)
+        betas = np.broadcast_to(
+            np.asarray(beta, dtype=self.dtype), (K,)
+        ).astype(self.dtype)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+            sh = NamedSharding(self.mesh, Pspec(None, "dp"))
+            packed_k = jax.device_put(packed_k, sh)
+            eps_k = jax.device_put(eps_k, sh)
+        evec, ivec, evals, freqs, props, Q = self.model_tensors
+        self.state, metrics = vbpi_train_steps_packed(
+            self.state, self.statics, self.optimizer,
+            jnp.asarray(packed_k), jnp.asarray(eps_k), jnp.asarray(betas),
+            shapes, self.tips, self.weights, self.segment_ids,
+            evec, ivec, evals, freqs, props, Q,
+        )
+        try:
+            self.state.sbn_params.copy_to_host_async()
+        except AttributeError:  # pragma: no cover
+            pass
+        return metrics
 
     def step(self, beta: float = 1.0):
         sched5, branch_rep, reps, touched, eps = self._host_sample()

@@ -45,12 +45,21 @@ class LikelihoodEngine:
         spec: PhyloModelSpec,
         rescale: bool = True,
         dtype=jnp.float64,
+        use_pallas: Optional[bool] = None,
     ):
         self.spec = spec
         self.rescale = rescale
         self.dtype = dtype
         self.tips = jnp.asarray(site_pattern.tip_partials(), dtype=dtype)
         self.weights = jnp.asarray(site_pattern.weights, dtype=dtype)
+        # Fused Pallas kernel for the (ll, branch gradient) hot path: on by
+        # default for f32 on TPU (any substitution/site model), scan engine
+        # otherwise (CPU, f64 parity, AD paths).
+        self.use_pallas = (
+            use_pallas
+            if use_pallas is not None
+            else (jax.default_backend() == "tpu" and dtype == jnp.float32)
+        )
         self._jit_cache: Dict = {}
 
     # -- shared pieces ------------------------------------------------------
@@ -126,6 +135,36 @@ class LikelihoodEngine:
     def branch_gradients(self, sched: BatchedSchedule, branch_lengths, params):
         """(lls (B,), grads (B, N-1)) — the linear-time two-pass scheme."""
         root_id = sched.root_id
+        if self.use_pallas:
+            from ..ops import pruning_pallas
+
+            def build_pallas():
+                def fn(post_children, bl, params):
+                    freqs, evec, ivec, evals, rates, props, Q = (
+                        self._model_tensors(params)
+                    )
+                    P = jax.vmap(
+                        lambda b: pruning.node_transition_matrices(
+                            evec, ivec, evals, self._pad(b).astype(self.dtype),
+                            rates,
+                        )
+                    )(bl)
+                    Qs = Q[None] * rates[:, None, None]
+                    return (
+                        pruning_pallas.log_likelihood_and_branch_gradient_pallas(
+                            post_children, P, Qs, self.tips, freqs,
+                            self.weights, root_id=root_id, props=props,
+                        )
+                    )
+
+                return jax.jit(fn)
+
+            fn = self._cached(("bgrad_pallas", root_id), build_pallas)
+            return fn(
+                jnp.asarray(sched.post_children),
+                jnp.asarray(branch_lengths, self.dtype),
+                params,
+            )
 
         def build():
             def one(sched5, bl, params):

@@ -12,11 +12,15 @@ fat_beagle.cpp:119-175) runs as ONE kernel per tree with
     dynamically-indexed node slabs, and the transition application is a
     STATIC-index (4,4)@(4,PT) MXU dot written to row leaf_count+s (internal
     ids are postorder-linear; see ops/schedule.py);
-  * node-major buffers (N+1, 4, PT): the node axis is the UNTILED leading
+  * node-major buffers (N+1, 4K, PT): the node axis is the UNTILED leading
     dimension, so every dynamic access is a cheap address computation on a
-    (1, 4, PT) slab — dynamic *sublane* indexing (the (4, N+1, PT) layout
+    (1, 4K, PT) slab — dynamic *sublane* indexing (the state-major layout
     tried first) lowers to a slow path and ran no faster than the scan
-    engine (21k vs 44k trees/s);
+    engine (21k vs 44k trees/s on DS1);
+  * K rate categories stack on the sublane axis (rows 4k+i); categories
+    never mix inside the recursion, so each step applies K block dots, and
+    the category proportions fold into the root upper partial so the
+    per-edge derivative contraction is a plain row reduction;
   * no reshape ever touches the minor (lane) dimension and every dot is
     rank 2 — the round-1 Mosaic failure modes ("unsupported shape cast",
     dot_general rank limits) are structurally avoided;
@@ -24,14 +28,12 @@ fat_beagle.cpp:119-175) runs as ONE kernel per tree with
   * the upward pass (one step per internal node, matching _preorder_pernode)
     fuses the per-edge derivative: when child edge u is formed, its gradient
     row w * (U·Q_scaled E) / (U·E) is written to a per-edge scratch and
-    lane-reduced once at the end;
-  * trees_per_program T > 1 interleaves T independent trees' recursions in
-    one instruction stream: the per-step work is a short chain of small
-    vector ops, so a single tree is latency-bound and independent chains
-    fill the idle issue slots.
+    lane-reduced once at the end.
 
-Scope: K = 1 rate category (the bench headline: JC69 + constant sites).
-General K falls back to the scan engine. Results match ops/pruning.py's
+Works for any 4-state substitution model and category count (JC69/GTR ×
+constant/Weibull): the model enters only through the per-node transition
+matrices, the stationary freqs, the category props, and the rate-scaled
+derivative matrices. Results match ops/pruning.py's
 log_likelihood_and_branch_gradient to float tolerance (same math, same
 rescaling scheme).
 
@@ -52,160 +54,166 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(
-    sched_ref,  # SMEM (T, S, 3) int32: post_children row per combine step
+    sched_ref,  # SMEM (1, S, 3) int32: post_children row per combine step
     freqs_ref,  # SMEM (1, 4)
-    q_ref,  # VMEM (4, 4): rate-scaled rate matrix (Q_scaled, K=1)
-    P_ref,  # VMEM (T, N1, 4, 4): per-node transition matrices
+    props_ref,  # SMEM (1, K): rate-category proportions
+    q_ref,  # VMEM (K, 4, 4): rate-scaled rate matrices (Q * r_k)
+    P_ref,  # VMEM (1, N1*K, 4, 4): transition matrices, row node*K + k
     tips_ref,  # VMEM (L, 4, PT): leaf tip partials
     w_ref,  # VMEM (1, PT): pattern weights (0 on padding)
-    ll_ref,  # out VMEM (T, 1, 1)
-    grad_ref,  # out VMEM (T, N1, 1, 1)
-    E,  # scratch VMEM (T, N1, 4, PT): evolved partials
-    U,  # scratch VMEM (T, N1, 4, PT): upper partials
-    G,  # scratch VMEM (T, N1, 1, PT): per-edge weighted gradient rows
+    ll_ref,  # out VMEM (1, 1, 1)
+    grad_ref,  # out VMEM (1, N1, 1, 1)
+    E,  # scratch VMEM (N1, 4K, PT): evolved partials
+    U,  # scratch VMEM (N1, 4K, PT): upper partials (props folded in)
+    G,  # scratch VMEM (N1, 1, PT): per-edge weighted gradient rows
     *,
     leaf_count: int,
     root_id: int,
-    T: int,
+    K: int,
 ):
     L = leaf_count
     ones_slot = root_id + 1
     n_steps = root_id + 1 - L  # internal node count
     PT = w_ref.shape[1]
+    R = 4 * K  # slab rows
     dt = P_ref.dtype
     tiny = jnp.asarray(1e-30, dt)
 
-    def pmat(t, node):
-        return P_ref[t, pl.ds(node, 1), :, :][0]  # (4, 4)
+    def pmat(node, k):
+        return P_ref[0, pl.ds(node * K + k, 1), :, :][0]  # (4, 4)
 
-    def read(t, ref, node):
-        return ref[t, pl.ds(node, 1), :, :][0]  # (4, PT)
+    def read(ref, node):
+        return ref[pl.ds(node, 1), :, :][0]  # (R, PT)
 
-    def write(t, ref, node, val):
-        ref[t, pl.ds(node, 1), :, :] = val[None]
+    def write(ref, node, val):
+        ref[pl.ds(node, 1), :, :] = val[None]
+
+    def apply_blocks(mats_of_k, slab, transpose=False):
+        """Per-category (4,4) dots on the K row blocks of a slab."""
+        outs = []
+        for k in range(K):
+            block = slab[4 * k : 4 * k + 4, :]
+            m = mats_of_k(k)
+            if transpose:
+                outs.append(
+                    jax.lax.dot_general(
+                        m, block, (((0,), (0,)), ((), ())),
+                        preferred_element_type=dt,
+                    )
+                )
+            else:
+                outs.append(jnp.dot(m, block, preferred_element_type=dt))
+        return outs[0] if K == 1 else jnp.concatenate(outs, axis=0)
 
     # -- init: ones slot is the padding child (inert under row-stochastic P).
-    ones_slab = jnp.ones((4, PT), dt)
-    for t in range(T):
-        write(t, E, ones_slot, ones_slab)
+    write(E, ones_slot, jnp.ones((R, PT), dt))
 
-    # -- leaves: E[l] = P_l @ tips[l].
+    # -- leaves: E[l] = P_l @ tips[l], per category.
     def leaf_body(l, c):
-        tip = tips_ref[pl.ds(l, 1), :, :][0]
-        for t in range(T):
-            write(t, E, l, jnp.dot(pmat(t, l), tip, preferred_element_type=dt))
+        tip4 = tips_ref[pl.ds(l, 1), :, :][0]  # (4, PT)
+        tip = tip4 if K == 1 else jnp.concatenate([tip4] * K, axis=0)
+        write(E, l, apply_blocks(lambda k: pmat(l, k), tip))
         return c
 
     jax.lax.fori_loop(0, L, leaf_body, 0)
 
     # -- forward combine steps: step s writes node L + s.
-    def fwd_body(s, logscales):
-        out = []
-        for t in range(T):
-            k0 = sched_ref[t, s, 0]
-            k1 = sched_ref[t, s, 1]
-            k2 = sched_ref[t, s, 2]
-            prod = read(t, E, k0) * read(t, E, k1) * read(t, E, k2)  # (4, PT)
-            scale = jnp.max(prod, axis=0, keepdims=True)
-            scale = jnp.where(scale > 0, scale, jnp.ones_like(scale))
-            prod = prod / scale
-            write(
-                t, E, L + s,
-                jnp.dot(pmat(t, L + s), prod, preferred_element_type=dt),
-            )
-            out.append(logscales[t] + jnp.log(scale))
-        return tuple(out)
+    def fwd_body(s, logscale):
+        k0 = sched_ref[0, s, 0]
+        k1 = sched_ref[0, s, 1]
+        k2 = sched_ref[0, s, 2]
+        prod = read(E, k0) * read(E, k1) * read(E, k2)  # (R, PT)
+        scale = jnp.max(prod, axis=0, keepdims=True)
+        scale = jnp.where(scale > 0, scale, jnp.ones_like(scale))
+        prod = prod / scale
+        node = L + s
+        write(E, node, apply_blocks(lambda k: pmat(node, k), prod))
+        return logscale + jnp.log(scale)
 
-    logscales = jax.lax.fori_loop(
-        0, n_steps, fwd_body, tuple(jnp.zeros((1, PT), dt) for _ in range(T))
+    logscale = jax.lax.fori_loop(
+        0, n_steps, fwd_body, jnp.zeros((1, PT), dt)
     )
 
     # -- root log-likelihood: bl[root] = 0 so P_root = I and E[root] = M[root].
-    for t in range(T):
-        Eroot = E[t, root_id : root_id + 1, :, :][0]  # (4, PT), static
-        site = jnp.zeros((1, PT), dt)
+    Eroot = E[root_id : root_id + 1, :, :][0]  # (R, PT), static
+    site = jnp.zeros((1, PT), dt)
+    for k in range(K):
         for i in range(4):
-            site = site + freqs_ref[0, i] * Eroot[i : i + 1, :]
-        site = jnp.maximum(site, tiny)
-        ll_ref[t, :, :] = jnp.sum(
-            w_ref[:] * (jnp.log(site) + logscales[t]), axis=1, keepdims=True
-        )
+            site = site + (props_ref[0, k] * freqs_ref[0, i]) * Eroot[
+                4 * k + i : 4 * k + i + 1, :
+            ]
+    site = jnp.maximum(site, tiny)
+    ll_ref[0, :, :] = jnp.sum(
+        w_ref[:] * (jnp.log(site) + logscale), axis=1, keepdims=True
+    )
 
     # -- upward pass + fused edge derivatives; root first (largest id).
+    # U[root][4k+i] = props_k * freqs_i: folding props in makes the final
+    # contraction a plain row sum (categories propagate independently).
     freq_rows = jnp.concatenate(
-        [jnp.full((1, PT), freqs_ref[0, i], dt) for i in range(4)], axis=0
+        [
+            jnp.full((1, PT), props_ref[0, k] * freqs_ref[0, i], dt)
+            for k in range(K)
+            for i in range(4)
+        ],
+        axis=0,
     )
-    for t in range(T):
-        write(t, U, root_id, freq_rows)
+    write(U, root_id, freq_rows)
 
-    def up_body(step, c):
-        node = root_id - step
+    def up_body(t, c):
+        node = root_id - t
         s = node - L
-        for t in range(T):
-            ev_up = jax.lax.dot_general(
-                pmat(t, node),
-                read(t, U, node),
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=dt,
-            )  # (4, PT) = P_node^T U[node]
-            k0 = sched_ref[t, s, 0]
-            k1 = sched_ref[t, s, 1]
-            k2 = sched_ref[t, s, 2]
-            e0 = read(t, E, k0)
-            e1 = read(t, E, k1)
-            e2 = read(t, E, k2)
-            for kid, a, b, ekid in (
-                (k0, e1, e2, e0),
-                (k1, e0, e2, e1),
-                (k2, e0, e1, e2),
-            ):
-                u = ev_up * a * b  # (4, PT); scales cancel in the ratio
-                qe = jnp.dot(q_ref[:], ekid, preferred_element_type=dt)
-                denom = jnp.sum(u * ekid, axis=0, keepdims=True)
-                num = jnp.sum(u * qe, axis=0, keepdims=True)
-                G[t, pl.ds(kid, 1), :, :] = (
-                    w_ref[:] * num / jnp.maximum(denom, tiny)
-                )[None]
-                sc = jnp.max(u, axis=0, keepdims=True)
-                sc = jnp.where(sc > 0, sc, jnp.ones_like(sc))
-                write(t, U, kid, u / sc)
+        ev_up = apply_blocks(
+            lambda k: pmat(node, k), read(U, node), transpose=True
+        )  # (R, PT) = P_node^T U[node] per category
+        k0 = sched_ref[0, s, 0]
+        k1 = sched_ref[0, s, 1]
+        k2 = sched_ref[0, s, 2]
+        e0 = read(E, k0)
+        e1 = read(E, k1)
+        e2 = read(E, k2)
+        for kid, a, b, ekid in (
+            (k0, e1, e2, e0),
+            (k1, e0, e2, e1),
+            (k2, e0, e1, e2),
+        ):
+            u = ev_up * a * b  # (R, PT); scales cancel in the ratio
+            qe = apply_blocks(lambda k: q_ref[k], ekid)
+            denom = jnp.sum(u * ekid, axis=0, keepdims=True)
+            num = jnp.sum(u * qe, axis=0, keepdims=True)
+            G[pl.ds(kid, 1), :, :] = (
+                w_ref[:] * num / jnp.maximum(denom, tiny)
+            )[None]
+            sc = jnp.max(u, axis=0, keepdims=True)
+            sc = jnp.where(sc > 0, sc, jnp.ones_like(sc))
+            write(U, kid, u / sc)
         return c
 
     jax.lax.fori_loop(0, n_steps, up_body, 0)
 
     # One lane reduction over the per-edge rows. Rows never written this tree
     # (the root) carry stale values; the caller slices them away.
-    for t in range(T):
-        grad_ref[t, :, :, :] = jnp.sum(G[t], axis=2, keepdims=True)
-
-
-def _default_trees_per_program(B: int) -> int:
-    # Measured on v5e (DS1, B=512): T=1 44k trees/s, T=2 25k, T=4 10k — the
-    # interleaved streams LOSE to the single chain (VMEM pressure beats the
-    # latency hiding), so the default stays 1.
-    return 1
+    grad_ref[0, :, :, :] = jnp.sum(G[:], axis=2, keepdims=True)
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=("leaf_count", "root_id", "interpret", "trees_per_program"),
+    jax.jit, static_argnames=("leaf_count", "root_id", "interpret")
 )
 def _pallas_ll_grad(
-    post_children, P, Q, tips, freqs, weights, *, leaf_count, root_id,
-    interpret, trees_per_program=None,
+    post_children, P, Q, tips, freqs, props, weights, *, leaf_count, root_id,
+    interpret,
 ):
-    """post_children: (B, S, 3) int32; P: (B, N1, 4, 4); Q: (4, 4);
-    tips: (L, 4, PT); freqs: (1, 4); weights: (1, PT).
+    """post_children: (B, S, 3) int32; P: (B, N1, K, 4, 4); Q: (K, 4, 4);
+    tips: (L, 4, PT); freqs: (1, 4); props: (1, K); weights: (1, PT).
     Returns ll (B,), grad (B, N1) — caller slices grad[:, :root_id]."""
     B, S, _ = post_children.shape
-    N1 = P.shape[1]
+    _, N1, K = P.shape[:3]
     PT = weights.shape[1]
     L = leaf_count
     dt = P.dtype
-    T = trees_per_program or _default_trees_per_program(B)
-    assert B % T == 0, (B, T)
+    P2 = P.reshape(B, N1 * K, 4, 4)
 
-    kernel = functools.partial(_kernel, leaf_count=L, root_id=root_id, T=T)
+    kernel = functools.partial(_kernel, leaf_count=L, root_id=root_id, K=K)
     # The package enables x64 globally (parity needs f64), but Mosaic wants
     # pure-i32 index/loop scalars; trace the kernel with x64 off. (f64 runs
     # interpret-mode only — parity tests — and keeps x64 on.)
@@ -217,15 +225,18 @@ def _pallas_ll_grad(
     with ctx:
         ll, grad = pl.pallas_call(
             kernel,
-            grid=(B // T,),
+            grid=(B,),
             in_specs=[
                 pl.BlockSpec(
-                    (T, S, 3), lambda b: (b, 0, 0), memory_space=pltpu.SMEM
+                    (1, S, 3), lambda b: (b, 0, 0), memory_space=pltpu.SMEM
                 ),
                 pl.BlockSpec((1, 4), lambda b: (0, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec((4, 4), lambda b: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K), lambda b: (0, 0), memory_space=pltpu.SMEM),
                 pl.BlockSpec(
-                    (T, N1, 4, 4), lambda b: (b, 0, 0, 0),
+                    (K, 4, 4), lambda b: (0, 0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, N1 * K, 4, 4), lambda b: (b, 0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
@@ -235,10 +246,10 @@ def _pallas_ll_grad(
             ],
             out_specs=[
                 pl.BlockSpec(
-                    (T, 1, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+                    (1, 1, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec(
-                    (T, N1, 1, 1), lambda b: (b, 0, 0, 0),
+                    (1, N1, 1, 1), lambda b: (b, 0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ],
@@ -247,17 +258,12 @@ def _pallas_ll_grad(
                 jax.ShapeDtypeStruct((B, N1, 1, 1), dt),
             ],
             scratch_shapes=[
-                pltpu.VMEM((T, N1, 4, PT), dt),
-                pltpu.VMEM((T, N1, 4, PT), dt),
-                pltpu.VMEM((T, N1, 1, PT), dt),
+                pltpu.VMEM((N1, 4 * K, PT), dt),
+                pltpu.VMEM((N1, 4 * K, PT), dt),
+                pltpu.VMEM((N1, 1, PT), dt),
             ],
-            compiler_params=(
-                pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
-                if T > 1
-                else None
-            ),
             interpret=interpret,
-        )(post_children, freqs, Q, P, tips, weights)
+        )(post_children, freqs, props, Q, P2, tips, weights)
     return ll[:, 0, 0], grad[:, :, 0, 0]
 
 
@@ -282,36 +288,41 @@ def pad_patterns(tips, weights, multiple: int = 128):
 
 def log_likelihood_and_branch_gradient_pallas(
     post_children, P, Q_scaled, tips, freqs, weights, *, root_id,
-    interpret=False, trees_per_program=None,
+    props=None, interpret=False, trees_per_program=None,
 ):
     """Drop-in for ops.pruning.log_likelihood_and_branch_gradient over a
-    BATCH of trees, K = 1 only.
+    BATCH of trees.
 
-    post_children: (B, S, 3) int32; P: (B, N1, 1, 4, 4) or (B, N1, 4, 4);
-    Q_scaled: (1, 4, 4) or (4, 4); tips: (L, 4, Pp); freqs: (4,);
+    post_children: (B, S, 3) int32; P: (B, N1, K, 4, 4) or (B, N1, 4, 4)
+    (K = 1); Q_scaled: (K, 4, 4) or (4, 4); tips: (L, 4, Pp); freqs: (4,);
+    props: (K,) category proportions (default uniform/[1] for K = 1);
     weights: (Pp,). Returns (ll (B,), grad (B, root_id))."""
+    del trees_per_program  # measured slower than one tree per program
     P = jnp.asarray(P)
-    if P.ndim == 5:
-        assert P.shape[2] == 1, "pallas path supports K = 1 only"
-        P = P[:, :, 0]
+    if P.ndim == 4:
+        P = P[:, :, None]
     Q = jnp.asarray(Q_scaled)
-    if Q.ndim == 3:
-        assert Q.shape[0] == 1, "pallas path supports K = 1 only"
-        Q = Q[0]
+    if Q.ndim == 2:
+        Q = Q[None]
+    K = P.shape[2]
+    assert Q.shape[0] == K, (Q.shape, K)
+    if props is None:
+        props = jnp.full((K,), 1.0 / K, P.dtype) if K > 1 else jnp.ones((1,), P.dtype)
     leaf_count = tips.shape[0]
     tips_p, w_p = pad_patterns(tips, weights)
     w2 = jnp.asarray(w_p, P.dtype)[None, :]
     f2 = jnp.asarray(freqs, P.dtype)[None, :]
+    pr2 = jnp.asarray(props, P.dtype)[None, :]
     ll, grad = _pallas_ll_grad(
         jnp.asarray(post_children, jnp.int32),
         P,
         Q.astype(P.dtype),
         jnp.asarray(tips_p, P.dtype),
         f2,
+        pr2,
         w2,
         leaf_count=leaf_count,
         root_id=root_id,
         interpret=interpret,
-        trees_per_program=trees_per_program,
     )
     return ll, grad[:, :root_id]

@@ -99,3 +99,62 @@ def test_pallas_hello_golden():
         root_id=sched.root_id, interpret=True,
     )
     np.testing.assert_allclose(float(ll[0]), -84.852358, atol=1e-6)
+
+
+@pytest.mark.parametrize("sub,site", [("JC69", "weibull+4"), ("GTR", "constant"), ("GTR", "weibull+4")])
+def test_pallas_k_categories_matches_scan(ds1, sub, site):
+    """K-category kernel (GTR, Weibull+4) vs the scan engine at f64/1e-9."""
+    from libsbn_tpu.models.phylo_model import PhyloModelSpec, default_parameters, model_tensors
+
+    sched, bl, sp = ds1
+    bl_p = np.pad(bl, ((0, 0), (0, 1)))
+    spec = PhyloModelSpec(sub, site, "strict")
+    params = default_parameters(spec)
+    if sub == "GTR":
+        params["substitution"]["rates"] = jnp.asarray(
+            [0.1, 0.2, 0.15, 0.25, 0.2, 0.1], jnp.float64
+        )
+        params["substitution"]["frequencies"] = jnp.asarray(
+            [0.3, 0.25, 0.2, 0.25], jnp.float64
+        )
+    if site == "weibull+4":
+        params["site"] = {"shape": jnp.asarray(0.7, jnp.float64)}
+    freqs, evec, ivec, evals, rates, props, Q = model_tensors(spec, params)
+
+    tips = jnp.asarray(sp.tip_partials())
+    weights = jnp.asarray(sp.weights)
+    lls_ref, grads_ref = [], []
+    for i in range(bl.shape[0]):
+        class _S:
+            pass
+
+        s = _S()
+        s.root_id = sched.root_id
+        s.post_node = sched.post_node[i]
+        s.post_children = sched.post_children[i]
+        s.up_node = sched.up_node[i]
+        s.up_parent = sched.up_parent[i]
+        s.up_sibs = sched.up_sibs[i]
+        P = pruning.node_transition_matrices(
+            evec, ivec, evals, jnp.asarray(bl_p[i]), rates
+        )
+        Qs = Q[None] * rates[:, None, None]
+        ll, g = pruning.log_likelihood_and_branch_gradient(
+            s, P, Qs, tips, freqs, props, weights, True
+        )
+        lls_ref.append(float(ll))
+        grads_ref.append(np.asarray(g))
+
+    P_b = jax.vmap(
+        lambda b: pruning.node_transition_matrices(evec, ivec, evals, b, rates)
+    )(jnp.asarray(bl_p))
+    Qs = Q[None] * rates[:, None, None]
+    ll_p, g_p = pruning_pallas.log_likelihood_and_branch_gradient_pallas(
+        sched.post_children, P_b, Qs, np.asarray(tips), np.asarray(freqs),
+        np.asarray(weights), root_id=sched.root_id, props=np.asarray(props),
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(ll_p), np.asarray(lls_ref), atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(g_p), np.stack(grads_ref), rtol=1e-9, atol=1e-8
+    )

@@ -88,6 +88,9 @@ def _kernel(
     def write(ref, node, val):
         ref[pl.ds(node, 1), :, :] = val[None]
 
+    # Mosaic requires 32-bit matmul accumulators (bf16 inputs accumulate f32).
+    acc = jnp.float32 if dt == jnp.bfloat16 else dt
+
     def apply_blocks(mats_of_k, slab, transpose=False):
         """Per-category (4,4) dots on the K row blocks of a slab."""
         outs = []
@@ -95,14 +98,13 @@ def _kernel(
             block = slab[4 * k : 4 * k + 4, :]
             m = mats_of_k(k)
             if transpose:
-                outs.append(
-                    jax.lax.dot_general(
-                        m, block, (((0,), (0,)), ((), ())),
-                        preferred_element_type=dt,
-                    )
+                out = jax.lax.dot_general(
+                    m, block, (((0,), (0,)), ((), ())),
+                    preferred_element_type=acc,
                 )
             else:
-                outs.append(jnp.dot(m, block, preferred_element_type=dt))
+                out = jnp.dot(m, block, preferred_element_type=acc)
+            outs.append(out.astype(dt))
         return outs[0] if K == 1 else jnp.concatenate(outs, axis=0)
 
     # -- init: ones slot is the padding child (inert under row-stochastic P).
@@ -326,3 +328,29 @@ def log_likelihood_and_branch_gradient_pallas(
         interpret=interpret,
     )
     return ll, grad[:, :root_id]
+
+
+def log_likelihood_and_branch_gradient_pallas_sharded(
+    mesh, post_children, P, Q_scaled, tips, freqs, weights, *, root_id,
+    props=None, interpret=False, axis="dp",
+):
+    """Mesh-parallel wrapper: shard the tree batch over ``axis`` with
+    shard_map (Pallas kernels are per-device programs — XLA cannot
+    auto-partition a custom call, so the batch split is explicit). Model
+    constants replicate; outputs come back dp-sharded."""
+    from jax.sharding import PartitionSpec as PSpec
+
+    def local(pc, P_loc):
+        return log_likelihood_and_branch_gradient_pallas(
+            pc, P_loc, Q_scaled, tips, freqs, weights, root_id=root_id,
+            props=props, interpret=interpret,
+        )
+
+    f = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(PSpec(axis), PSpec(axis)),
+        out_specs=(PSpec(axis), PSpec(axis)),
+        check_vma=False,
+    )
+    return f(jnp.asarray(post_children, jnp.int32), jnp.asarray(P))

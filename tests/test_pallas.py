@@ -158,3 +158,34 @@ def test_pallas_k_categories_matches_scan(ds1, sub, site):
     np.testing.assert_allclose(
         np.asarray(g_p), np.stack(grads_ref), rtol=1e-9, atol=1e-8
     )
+
+
+def test_pallas_sharded_matches_local(ds1):
+    """shard_map wrapper over the 8-device CPU mesh == local results."""
+    from libsbn_tpu.parallel.sharding import make_mesh
+
+    sched, bl, sp = ds1
+    bl_p = np.pad(bl, ((0, 0), (0, 1)))
+    freqs, evec, ivec, evals = substitution.jc69_eigen(jnp.float64)
+    Q = substitution.jc69_q(jnp.float64)
+    B = 16
+    pc = np.tile(sched.post_children, (2, 1, 1))[:B]
+    blb = np.tile(bl_p, (2, 1))[:B]
+    P_b = jax.vmap(
+        lambda b: pruning.node_transition_matrices(
+            evec, ivec, evals, b, jnp.ones((1,), jnp.float64)
+        )
+    )(jnp.asarray(blb))
+    tips = np.asarray(sp.tip_partials())
+    weights = sp.weights
+    mesh = make_mesh(8, dp=8, sp=1)
+    ll_s, g_s = pruning_pallas.log_likelihood_and_branch_gradient_pallas_sharded(
+        mesh, pc, P_b, Q[None], tips, np.asarray(freqs), weights,
+        root_id=sched.root_id, interpret=True,
+    )
+    ll, g = pruning_pallas.log_likelihood_and_branch_gradient_pallas(
+        pc, P_b, Q[None], tips, np.asarray(freqs), weights,
+        root_id=sched.root_id, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(ll_s), np.asarray(ll))
+    np.testing.assert_array_equal(np.asarray(g_s), np.asarray(g))

@@ -60,6 +60,8 @@ class LikelihoodEngine:
             if use_pallas is not None
             else (jax.default_backend() == "tpu" and dtype == jnp.float32)
         )
+        # Run the Pallas kernels in interpreter mode (CPU testing).
+        self.pallas_interpret = False
         self._jit_cache: Dict = {}
 
     # -- shared pieces ------------------------------------------------------
@@ -108,6 +110,34 @@ class LikelihoodEngine:
         )
 
     # -- unrooted/plain likelihoods ----------------------------------------
+    def _pallas_ll_batch(self, root_id):
+        """Jitted (post_children, bl_padded (B, N+1), params) -> (B,) lls on
+        the Pallas VJP kernel — differentiable in params through the dP
+        cotangent (pruning_pallas_vjp)."""
+        from ..ops import pruning_pallas, pruning_pallas_vjp
+
+        def build():
+            def fn(post_children, bl_padded, params):
+                freqs, evec, ivec, evals, rates, props, _ = (
+                    self._model_tensors(params)
+                )
+                P = jax.vmap(
+                    lambda b: pruning.node_transition_matrices(
+                        evec, ivec, evals, b.astype(self.dtype), rates
+                    )
+                )(bl_padded)
+                tips_p, w_p = pruning_pallas.pad_patterns(
+                    self.tips, self.weights
+                )
+                return pruning_pallas_vjp.log_likelihoods_pallas(
+                    post_children, P, freqs, props, tips_p, w_p,
+                    self.tips.shape[0], root_id, self.pallas_interpret,
+                )
+
+            return jax.jit(fn)
+
+        return self._cached(("ll_pallas", root_id), build)
+
     def log_likelihoods(
         self, sched: BatchedSchedule, branch_lengths, params, per_tree=False
     ):
@@ -115,6 +145,12 @@ class LikelihoodEngine:
         every leaf of the params pytree carries a leading tree axis (the
         reference's per-tree parameter matrix rows, fat_beagle.hpp:144)."""
         root_id = sched.root_id
+        if self.use_pallas and not per_tree:
+            fn = self._pallas_ll_batch(root_id)
+            bl = jnp.asarray(branch_lengths, self.dtype)
+            return fn(
+                jnp.asarray(sched.post_children), self._pad(bl), params
+            )
 
         def build():
             def one(sched5, bl, params):
@@ -154,6 +190,7 @@ class LikelihoodEngine:
                         pruning_pallas.log_likelihood_and_branch_gradient_pallas(
                             post_children, P, Qs, self.tips, freqs,
                             self.weights, root_id=root_id, props=props,
+                            interpret=self.pallas_interpret,
                         )
                     )
 
@@ -206,6 +243,61 @@ class LikelihoodEngine:
         out.update(extra)
         return out
 
+    def _rooted_phylo_gradients_pallas(
+        self, sched, bounds, ratios, rates, params, strict_clock
+    ):
+        """Rooted gradient dict on the Pallas VJP kernel: per-tree
+        (ratios, rates) gradients come from one grad of the batch SUM (trees
+        are independent, so the sum's gradient decouples per tree)."""
+        root_id = sched.root_id
+
+        def build():
+            core = self._rooted_core(sched)
+
+            def fn(post_children, pre_node, pre_parent, parent, bounds,
+                   ratios, rates, params):
+                def objective(ratios_, rates_):
+                    lls, ldjs = core(
+                        post_children, pre_node, pre_parent, parent, bounds,
+                        ratios_, rates_, params,
+                    )
+                    return jnp.sum(lls + ldjs), (lls, ldjs)
+
+                (_, (lls, ldjs)), (dratios, drates) = jax.value_and_grad(
+                    objective, argnums=(0, 1), has_aux=True
+                )(ratios, rates)
+                return lls, ldjs, dratios, drates
+
+            return jax.jit(fn)
+
+        fn = self._cached(("rooted_grad_pallas", root_id), build)
+        lls, ldjs, dratios, drates = fn(
+            jnp.asarray(sched.post_children),
+            jnp.asarray(sched.pre_internal_node),
+            jnp.asarray(sched.pre_internal_parent),
+            jnp.asarray(sched.parent),
+            jnp.asarray(bounds, self.dtype),
+            jnp.asarray(ratios, self.dtype),
+            jnp.asarray(rates, self.dtype),
+            params,
+        )
+        out = {
+            "log_likelihood": lls,
+            "ratios_root_height": dratios,
+            "clock_model": jnp.sum(drates, axis=-1, keepdims=True)
+            if strict_clock
+            else drates,
+        }
+        out.update(
+            self._model_param_gradients(
+                lambda p: self.rooted_log_likelihoods(
+                    sched, bounds, ratios, rates, p
+                ),
+                params,
+            )
+        )
+        return out
+
     def _batched_ll_sum(self, sched, branch_lengths, params):
         # Sum over the batch: per-tree model-parameter gradients come from
         # vmapped per-tree calls instead when needed; the reference computes
@@ -242,6 +334,37 @@ class LikelihoodEngine:
         return out
 
     # -- rooted time-tree likelihoods --------------------------------------
+    def _rooted_core(self, sched: BatchedSchedule):
+        """Jitted batched (lls, ldjs) for rooted time trees on the Pallas
+        VJP kernel; differentiable in (ratios, rates, params)."""
+        leaf_count = sched.leaf_count
+        root_id = sched.root_id
+
+        def build():
+            ll_fn = self._pallas_ll_batch(root_id)
+
+            def fn(post_children, pre_node, pre_parent, parent, bounds,
+                   ratios, rates, params):
+                def bl_of(pre_n, pre_p, par, bounds1, ratios1, rates1):
+                    h = heights_ops.node_heights_from_ratios(
+                        ratios1, bounds1, leaf_count, pre_n, pre_p
+                    )
+                    bl = heights_ops.branch_lengths_from_heights(h, par)
+                    ldj = heights_ops.log_det_jacobian(
+                        h, bounds1, par, leaf_count
+                    )
+                    return self._pad2(bl * rates1), ldj
+
+                bl_padded, ldjs = jax.vmap(bl_of)(
+                    pre_node, pre_parent, parent, bounds, ratios, rates
+                )
+                lls = ll_fn(post_children, bl_padded, params)
+                return lls, ldjs
+
+            return jax.jit(fn)
+
+        return self._cached(("rooted_core_pallas", root_id), build)
+
     def rooted_log_likelihoods(
         self, sched: BatchedSchedule, bounds, ratios, rates, params,
         return_parts: bool = False,
@@ -252,6 +375,21 @@ class LikelihoodEngine:
         height last; rates: (B, N-1) per-branch clock rates."""
         leaf_count = sched.leaf_count
         root_id = sched.root_id
+        if self.use_pallas:
+            fn = self._rooted_core(sched)
+            lls, ldjs = fn(
+                jnp.asarray(sched.post_children),
+                jnp.asarray(sched.pre_internal_node),
+                jnp.asarray(sched.pre_internal_parent),
+                jnp.asarray(sched.parent),
+                jnp.asarray(bounds, self.dtype),
+                jnp.asarray(ratios, self.dtype),
+                jnp.asarray(rates, self.dtype),
+                params,
+            )
+            if return_parts:
+                return lls, ldjs
+            return lls + ldjs
 
         def build():
             def one(sched5, pre_node, pre_parent, parent, bounds, ratios, rates, params):
@@ -289,6 +427,10 @@ class LikelihoodEngine:
         """Gradient dict for rooted time trees, all via AD."""
         leaf_count = sched.leaf_count
         root_id = sched.root_id
+        if self.use_pallas:
+            return self._rooted_phylo_gradients_pallas(
+                sched, bounds, ratios, rates, params, strict_clock
+            )
 
         def build():
             def one(sched5, pre_node, pre_parent, parent, bounds, ratios, rates, params):

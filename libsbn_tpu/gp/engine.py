@@ -57,9 +57,22 @@ class GPEngine:
         inverted_sbn_prior: np.ndarray,
         rescaling_threshold: float = 1e-40,  # kept for API parity; unused
         dtype=np.float64,
+        use_pallas="auto",
+        pallas_interpret=False,
     ):
         self.dag = dag
         self.dtype = dtype
+        # The fused populate kernel (engine_pallas.py) is the TPU f32
+        # production path; f64/CPU stay on the XLA scan path (parity suite).
+        if use_pallas == "auto":
+            use_pallas = (
+                dtype == np.float32
+                and jax.default_backend() == "tpu"
+                and not pallas_interpret
+            )
+        self.use_pallas = bool(use_pallas)
+        self.pallas_interpret = pallas_interpret
+        self._pallas_instr = None
         self.site_pattern = site_pattern
         self.weights = np.asarray(site_pattern.weights)
         self.tips = np.asarray(site_pattern.tip_partials())  # (L, 4, S)
@@ -305,10 +318,20 @@ class GPEngine:
         return {k: v[:N] for k, v in out.items()}
 
     def populate_plvs(self):
-        out = self._populate_jit(
-            jnp.asarray(self.branch_lengths, self.dtype),
-            jnp.asarray(self.q, self.dtype),
-        )
+        if self.use_pallas:
+            from .engine_pallas import populate_plvs_pallas
+
+            out = populate_plvs_pallas(
+                self,
+                jnp.asarray(self.branch_lengths, self.dtype),
+                jnp.asarray(self.q, self.dtype),
+                interpret=self.pallas_interpret,
+            )
+        else:
+            out = self._populate_jit(
+                jnp.asarray(self.branch_lengths, self.dtype),
+                jnp.asarray(self.q, self.dtype),
+            )
         # PLVs stay DEVICE-RESIDENT: the coordinate-ascent loop re-feeds them
         # to the likelihood/optimize programs, and shipping the full dict to
         # host every sweep dominated wall time (hundreds of MB per sweep on
@@ -331,17 +354,23 @@ class GPEngine:
 
     # -- likelihoods ---------------------------------------------------------
     def _likelihood_rows_impl(self, plvs, bl, q):
-        """(E_total, S) log-likelihood rows + per-site log marginal."""
+        """(E_total, S) log-likelihood rows + per-site log marginal.
+
+        Log-scales broadcast from either form: per-node scalars (N,) from
+        the XLA populate path or per-(node, pattern) rows (N, S) from the
+        Pallas kernel."""
+        _b = lambda x: x[:, None] if x.ndim == 1 else x  # noqa: E731
         pa = jnp.asarray(self.e_parent)
         ch = jnp.asarray(self.e_child)
         g = jnp.asarray(self.e_gpcsp)
         rot = jnp.asarray(self.e_rot)
+        rot_s = rot if plvs["ls_r"].ndim == 1 else rot[:, None]
         r_plv = jnp.where(rot[:, None, None], plvs["rtilde"][pa], plvs["r"][pa])
-        ls_rsrc = jnp.where(rot, plvs["ls_rtilde"][pa], plvs["ls_r"][pa])
+        ls_rsrc = jnp.where(rot_s, plvs["ls_rtilde"][pa], plvs["ls_r"][pa])
         P = _jc69_transition(bl[g])
         lik = jnp.einsum("eis,eij,ejs->es", r_plv, P, plvs["p"][ch])
         rows_edges = (
-            jnp.log(lik) + (ls_rsrc + plvs["ls_p"][ch])[:, None]
+            jnp.log(lik) + _b(ls_rsrc) + _b(plvs["ls_p"][ch])
         )
         # Rootsplit rows: log(q * 0.25 * sum_i p_i) + log-scale of p.
         rp = plvs["p"][jnp.asarray(self.root_ids)]
@@ -350,7 +379,7 @@ class GPEngine:
                 0.25 * q[jnp.asarray(self.root_gpcsps)][:, None]
                 * jnp.sum(rp, axis=1)
             )
-            + plvs["ls_p"][jnp.asarray(self.root_ids)][:, None]
+            + _b(plvs["ls_p"][jnp.asarray(self.root_ids)])
         )
         log_marginal = jax.scipy.special.logsumexp(root_rows, axis=0)
         # Conditional per-rootsplit rows (log-divide by rootsplit prob).
@@ -386,30 +415,41 @@ class GPEngine:
         )
 
     # -- branch optimization -------------------------------------------------
-    def _edge_objective(self, log_bl, plvs):
-        """Negative weighted log likelihood per edge: (E,)."""
+    def _optimize_impl(self, plvs, bl):
+        """One vectorized golden-section sweep over all edges.
+
+        For JC69, r·P(b)·p collapses to A + e^(-4b/3)·B with per-edge
+        A = ¼(Σᵢrᵢ)(Σⱼpⱼ) and B = Σᵢrᵢpᵢ − A, so the PLV gathers and the
+        (E,4,4) contractions hoist OUT of the golden-section loop: each of
+        the 2·GOLDEN_ITERS objective evaluations is one scalar exp per edge
+        plus a fused multiply-add over patterns (was 115 ms/sweep on fluA
+        re-gathering PLVs per eval; now ~3 ms)."""
         pa = jnp.asarray(self.e_parent)
         ch = jnp.asarray(self.e_child)
         rot = jnp.asarray(self.e_rot)
-        r_plv = jnp.where(rot[:, None, None], plvs["rtilde"][pa], plvs["r"][pa])
-        P = _jc69_transition(jnp.exp(log_bl))
-        lik = jnp.einsum("eis,eij,ejs->es", r_plv, P, plvs["p"][ch])
-        w = jnp.asarray(self.weights, log_bl.dtype)
-        return -jnp.sum(jnp.log(lik) * w[None, :], axis=-1)
-
-    def _optimize_impl(self, plvs, bl):
-        """One vectorized golden-section sweep over all edges."""
         g = jnp.asarray(self.e_gpcsp)
+        r_plv = jnp.where(rot[:, None, None], plvs["rtilde"][pa], plvs["r"][pa])
+        p_plv = plvs["p"][ch]
+        D = jnp.einsum("eis,eis->es", r_plv, p_plv)
+        A = 0.25 * jnp.sum(r_plv, axis=1) * jnp.sum(p_plv, axis=1)
+        Bc = D - A
+        w = jnp.asarray(self.weights, bl.dtype)
+
+        def obj(log_bl):  # (E,) -> (E,)
+            e = jnp.exp(-4.0 / 3.0 * jnp.exp(log_bl))
+            lik = A + e[:, None] * Bc
+            return -jnp.sum(jnp.log(lik) * w[None, :], axis=-1)
+
         current_log = jnp.log(bl[g])
-        current_obj = self._edge_objective(current_log, plvs)
+        current_obj = obj(current_log)
 
         invphi = (jnp.sqrt(5.0) - 1.0) / 2.0
         a = jnp.full_like(current_log, MIN_LOG_BL)
         b = jnp.full_like(current_log, MAX_LOG_BL)
         c = b - invphi * (b - a)
         d = a + invphi * (b - a)
-        fc = self._edge_objective(c, plvs)
-        fd = self._edge_objective(d, plvs)
+        fc = obj(c)
+        fd = obj(d)
 
         def body(_, state):
             a, b, c, d, fc, fd = state
@@ -418,8 +458,8 @@ class GPEngine:
             new_a = jnp.where(take_left, a, c)
             new_c = new_b - invphi * (new_b - new_a)
             new_d = new_a + invphi * (new_b - new_a)
-            new_fc = self._edge_objective(new_c, plvs)
-            new_fd = self._edge_objective(new_d, plvs)
+            new_fc = obj(new_c)
+            new_fd = obj(new_d)
             return new_a, new_b, new_c, new_d, new_fc, new_fd
 
         a, b, c, d, fc, fd = jax.lax.fori_loop(

@@ -199,18 +199,25 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("leaf_count", "root_id", "interpret")
+    jax.jit, static_argnames=("leaf_count", "root_id", "tile", "interpret")
 )
 def _pallas_ll_grad(
     post_children, P, Q, tips, freqs, props, weights, *, leaf_count, root_id,
-    interpret,
+    tile, interpret,
 ):
     """post_children: (B, S, 3) int32; P: (B, N1, K, 4, 4); Q: (K, 4, 4);
     tips: (L, 4, PT); freqs: (1, 4); props: (1, K); weights: (1, PT).
-    Returns ll (B,), grad (B, N1) — caller slices grad[:, :root_id]."""
+    Returns ll (B,), grad (B, N1) — caller slices grad[:, :root_id].
+
+    The pattern axis tiles across the grid's second dimension (each tile's
+    recursion is independent; per-tile ll/grad partials are summed outside),
+    so VMEM holds (N1, 4K, tile) slabs instead of the full pattern width —
+    this is what admits large-taxa × K-category × long-alignment workloads
+    (e.g. 69 taxa × Weibull+4 × 1k patterns needs 18 MB untiled)."""
     B, S, _ = post_children.shape
     _, N1, K = P.shape[:3]
     PT = weights.shape[1]
+    T = PT // tile
     L = leaf_count
     dt = P.dtype
     P2 = P.reshape(B, N1 * K, 4, 4)
@@ -227,46 +234,67 @@ def _pallas_ll_grad(
     with ctx:
         ll, grad = pl.pallas_call(
             kernel,
-            grid=(B,),
+            grid=(B, T),
             in_specs=[
                 pl.BlockSpec(
-                    (1, S, 3), lambda b: (b, 0, 0), memory_space=pltpu.SMEM
-                ),
-                pl.BlockSpec((1, 4), lambda b: (0, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, K), lambda b: (0, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec(
-                    (K, 4, 4), lambda b: (0, 0, 0), memory_space=pltpu.VMEM
+                    (1, S, 3), lambda b, t: (b, 0, 0),
+                    memory_space=pltpu.SMEM,
                 ),
                 pl.BlockSpec(
-                    (1, N1 * K, 4, 4), lambda b: (b, 0, 0, 0),
+                    (1, 4), lambda b, t: (0, 0), memory_space=pltpu.SMEM
+                ),
+                pl.BlockSpec(
+                    (1, K), lambda b, t: (0, 0), memory_space=pltpu.SMEM
+                ),
+                pl.BlockSpec(
+                    (K, 4, 4), lambda b, t: (0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (L, 4, PT), lambda b: (0, 0, 0), memory_space=pltpu.VMEM
+                    (1, N1 * K, 4, 4), lambda b, t: (b, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
                 ),
-                pl.BlockSpec((1, PT), lambda b: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (L, 4, tile), lambda b, t: (0, 0, t),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, tile), lambda b, t: (0, t), memory_space=pltpu.VMEM
+                ),
             ],
             out_specs=[
                 pl.BlockSpec(
-                    (1, 1, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+                    (1, 1, 1), lambda b, t: (b, t, 0),
+                    memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, N1, 1, 1), lambda b: (b, 0, 0, 0),
+                    (1, N1, 1, 1), lambda b, t: (b, 0, t, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((B, 1, 1), dt),
-                jax.ShapeDtypeStruct((B, N1, 1, 1), dt),
+                jax.ShapeDtypeStruct((B, T, 1), dt),
+                jax.ShapeDtypeStruct((B, N1, T, 1), dt),
             ],
             scratch_shapes=[
-                pltpu.VMEM((N1, 4 * K, PT), dt),
-                pltpu.VMEM((N1, 4 * K, PT), dt),
-                pltpu.VMEM((N1, 1, PT), dt),
+                pltpu.VMEM((N1, 4 * K, tile), dt),
+                pltpu.VMEM((N1, 4 * K, tile), dt),
+                pltpu.VMEM((N1, 1, tile), dt),
             ],
             interpret=interpret,
         )(post_children, freqs, props, Q, P2, tips, weights)
-    return ll[:, 0, 0], grad[:, :, 0, 0]
+    return ll[:, :, 0].sum(axis=1), grad[:, :, :, 0].sum(axis=2)
+
+
+def _auto_tile(N1, K, L, PT, itemsize, budget=12 * 2**20):
+    """Largest 128-multiple divisor of PT whose VMEM working set fits."""
+    per_lane = (2 * N1 * 4 * K + N1 + 4 * L + 4) * itemsize
+    m = PT // 128
+    divisors = sorted((d for d in range(1, m + 1) if m % d == 0), reverse=True)
+    for d in divisors:
+        if d * 128 * per_lane <= budget:
+            return d * 128
+    return 128
 
 
 def pad_patterns(tips, weights, multiple: int = 128):

@@ -61,8 +61,8 @@ def _kernel(
     P_ref,  # VMEM (1, N1*K, 4, 4): transition matrices, row node*K + k
     tips_ref,  # VMEM (L, 4, PT): leaf tip partials
     w_ref,  # VMEM (1, PT): pattern weights (0 on padding)
-    ll_ref,  # out VMEM (1, 1, 1)
-    grad_ref,  # out VMEM (1, N1, 1, 1)
+    ll_ref,  # out VMEM (1, 1, 1, 1): this (tree, tile) partial ll
+    grad_ref,  # out VMEM (1, 1, N1, 1): this (tree, tile) partial gradient
     E,  # scratch VMEM (N1, 4K, PT): evolved partials
     U,  # scratch VMEM (N1, 4K, PT): upper partials (props folded in)
     G,  # scratch VMEM (N1, 1, PT): per-edge weighted gradient rows
@@ -145,7 +145,7 @@ def _kernel(
                 4 * k + i : 4 * k + i + 1, :
             ]
     site = jnp.maximum(site, tiny)
-    ll_ref[0, :, :] = jnp.sum(
+    ll_ref[0, 0, :, :] = jnp.sum(
         w_ref[:] * (jnp.log(site) + logscale), axis=1, keepdims=True
     )
 
@@ -195,7 +195,7 @@ def _kernel(
 
     # One lane reduction over the per-edge rows. Rows never written this tree
     # (the root) carry stale values; the caller slices them away.
-    grad_ref[0, :, :, :] = jnp.sum(G[:], axis=2, keepdims=True)
+    grad_ref[0, 0, :, :] = jnp.sum(G[:], axis=2)
 
 
 @functools.partial(
@@ -264,17 +264,17 @@ def _pallas_ll_grad(
             ],
             out_specs=[
                 pl.BlockSpec(
-                    (1, 1, 1), lambda b, t: (b, t, 0),
+                    (1, 1, 1, 1), lambda b, t: (b, t, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, N1, 1, 1), lambda b, t: (b, 0, t, 0),
+                    (1, 1, N1, 1), lambda b, t: (b, t, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((B, T, 1), dt),
-                jax.ShapeDtypeStruct((B, N1, T, 1), dt),
+                jax.ShapeDtypeStruct((B, T, 1, 1), dt),
+                jax.ShapeDtypeStruct((B, T, N1, 1), dt),
             ],
             scratch_shapes=[
                 pltpu.VMEM((N1, 4 * K, tile), dt),
@@ -283,7 +283,7 @@ def _pallas_ll_grad(
             ],
             interpret=interpret,
         )(post_children, freqs, props, Q, P2, tips, weights)
-    return ll[:, :, 0].sum(axis=1), grad[:, :, :, 0].sum(axis=2)
+    return ll[:, :, 0, 0].sum(axis=1), grad[:, :, :, 0].sum(axis=1)
 
 
 def _auto_tile(N1, K, L, PT, itemsize, budget=12 * 2**20):
@@ -318,7 +318,7 @@ def pad_patterns(tips, weights, multiple: int = 128):
 
 def log_likelihood_and_branch_gradient_pallas(
     post_children, P, Q_scaled, tips, freqs, weights, *, root_id,
-    props=None, interpret=False, trees_per_program=None,
+    props=None, interpret=False, trees_per_program=None, tile=None,
 ):
     """Drop-in for ops.pruning.log_likelihood_and_branch_gradient over a
     BATCH of trees.
@@ -340,6 +340,10 @@ def log_likelihood_and_branch_gradient_pallas(
         props = jnp.full((K,), 1.0 / K, P.dtype) if K > 1 else jnp.ones((1,), P.dtype)
     leaf_count = tips.shape[0]
     tips_p, w_p = pad_patterns(tips, weights)
+    if tile is None:
+        tile = _auto_tile(
+            P.shape[1], K, leaf_count, w_p.shape[0], jnp.dtype(P.dtype).itemsize
+        )
     w2 = jnp.asarray(w_p, P.dtype)[None, :]
     f2 = jnp.asarray(freqs, P.dtype)[None, :]
     pr2 = jnp.asarray(props, P.dtype)[None, :]
@@ -353,6 +357,7 @@ def log_likelihood_and_branch_gradient_pallas(
         w2,
         leaf_count=leaf_count,
         root_id=root_id,
+        tile=tile,
         interpret=interpret,
     )
     return ll, grad[:, :root_id]

@@ -249,3 +249,47 @@ def test_engine_pallas_rooted_matches_scan():
         np.testing.assert_allclose(
             np.asarray(d1[k]), np.asarray(d0[k]), rtol=1e-8, atol=1e-8
         )
+
+
+def test_pallas_pattern_tiling_matches_untiled(ds1):
+    """Explicit multi-tile grid (tile=512 on DS1's 1024 padded patterns)
+    equals the single-tile kernel; per-tile ll/grad partials sum exactly."""
+    sched, bl, sp = ds1
+    bl_p = np.pad(bl, ((0, 0), (0, 1)))
+    dtype = jnp.float64
+    freqs, evec, ivec, evals = substitution.jc69_eigen(dtype)
+    Q = substitution.jc69_q(dtype)
+    rates = jnp.ones((1,), dtype)
+    P_b = jax.vmap(
+        lambda b: pruning.node_transition_matrices(evec, ivec, evals, b, rates)
+    )(jnp.asarray(bl_p, dtype))
+    out = {}
+    for tile in (None, 512, 128):
+        out[tile] = pruning_pallas.log_likelihood_and_branch_gradient_pallas(
+            sched.post_children,
+            P_b,
+            Q[None],
+            np.asarray(sp.tip_partials()),
+            np.asarray(freqs),
+            np.asarray(sp.weights),
+            root_id=sched.root_id,
+            interpret=True,
+            tile=tile,
+        )
+    for tile in (512, 128):
+        np.testing.assert_allclose(
+            np.asarray(out[tile][0]), np.asarray(out[None][0]), atol=1e-9
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[tile][1]), np.asarray(out[None][1]), atol=1e-9
+        )
+
+
+def test_auto_tile_divides_and_fits():
+    assert pruning_pallas._auto_tile(56, 1, 27, 1024, 4) == 1024
+    # 69 taxa, K=4, 1024 patterns, f32: untiled needs ~18 MB -> split.
+    t = pruning_pallas._auto_tile(138, 4, 69, 1024, 4)
+    assert t < 1024 and 1024 % t == 0
+    # Non-power-of-two pattern multiples still tile on divisors.
+    t = pruning_pallas._auto_tile(600, 4, 300, 896, 4)
+    assert 896 % t == 0

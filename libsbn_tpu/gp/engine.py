@@ -62,14 +62,18 @@ class GPEngine:
     ):
         self.dag = dag
         self.dtype = dtype
-        # The fused populate kernel (engine_pallas.py) is the TPU f32
-        # production path; f64/CPU stay on the XLA scan path (parity suite).
+        # The fused GP kernels (engine_pallas.py) are parity-tested but
+        # OPT-IN: measured on a v5e, their device time matches the XLA scan
+        # path inside the fused ascent program (106 vs 116 ms for a 5-sweep
+        # fluA fit) while Mosaic-compiling the populate kernel inside the
+        # while_loop costs ~9 min cold vs 4 s for XLA. The ascent-level
+        # fusion (run_branch_ascent), not the kernel, is what removes the
+        # per-call dispatch cost. Opt in with use_pallas=True or
+        # LIBSBN_TPU_GP_PALLAS=1.
         if use_pallas == "auto":
-            use_pallas = (
-                dtype == np.float32
-                and jax.default_backend() == "tpu"
-                and not pallas_interpret
-            )
+            import os
+
+            use_pallas = bool(os.environ.get("LIBSBN_TPU_GP_PALLAS"))
         self.use_pallas = bool(use_pallas)
         self.pallas_interpret = pallas_interpret
         self._pallas_instr = None
@@ -106,6 +110,7 @@ class GPEngine:
         self._populate_jit = jax.jit(self._populate_impl)
         self._rows_jit = jax.jit(self._likelihood_rows_impl)
         self._optimize_jit = jax.jit(self._optimize_impl)
+        self._ascent_jit = None
 
     # -- PLV population ------------------------------------------------------
     def _build_level_tensors(self):
@@ -414,6 +419,108 @@ class GPEngine:
             + self.site_pattern.site_count() * np.log(self.q)
         )
 
+    # -- device-resident coordinate ascent ------------------------------------
+    def _marginal_of_plvs(self, plvs, q):
+        """Marginal log likelihood from populated PLVs (root rows only —
+        skips the full (E, S) likelihood-rows contraction)."""
+        _b = lambda x: x[:, None] if x.ndim == 1 else x  # noqa: E731
+        ri = jnp.asarray(self.root_ids)
+        rg = jnp.asarray(self.root_gpcsps)
+        rp = plvs["p"][ri]
+        root_rows = (
+            jnp.log(0.25 * q[rg][:, None] * jnp.sum(rp, axis=1))
+            + _b(plvs["ls_p"][ri])
+        )
+        per_site = jax.scipy.special.logsumexp(root_rows, axis=0)
+        w = jnp.asarray(self.weights, per_site.dtype)
+        return jnp.sum(per_site * w)
+
+    def _ascent_impl(self, bl0, q, tol, max_iter):
+        """The WHOLE coordinate ascent (EstimateBranchLengths) as one XLA
+        program: populate -> vectorized sweep -> damped line search ->
+        convergence check, looped with lax.while_loop. On the tunneled TPU
+        the host-orchestrated loop pays a ~30 ms round trip per device
+        call (4+ calls per sweep); this pays ONE dispatch for the whole
+        fit. Semantics match GPInstance.estimate_branch_lengths's host
+        loop (same damping, reject-if-worse, and stopping rules)."""
+        dt = bl0.dtype
+        if self.use_pallas:
+            from .engine_pallas import (
+                optimize_sweep_pallas, populate_plvs_pallas,
+            )
+
+            populate = lambda bl: populate_plvs_pallas(  # noqa: E731
+                self, bl, q, interpret=self.pallas_interpret
+            )
+            optimize = lambda plvs, bl: optimize_sweep_pallas(  # noqa: E731
+                self, plvs, bl, interpret=self.pallas_interpret
+            )
+        else:
+            populate = lambda bl: self._populate_impl(bl, q)  # noqa: E731
+            optimize = self._optimize_impl
+        floor = 1e-300 if dt == jnp.float64 else 1e-30
+
+        plvs0 = populate(bl0)
+        cur0 = self._marginal_of_plvs(plvs0, q)
+
+        def outer_cond(st):
+            i, bl, plvs, cur, done = st
+            return (i < max_iter) & (~done)
+
+        def outer_body(st):
+            i, bl, plvs, cur, done = st
+            proposed = optimize(plvs, bl)
+            log_prev = jnp.log(jnp.maximum(bl, floor))
+            log_prop = jnp.log(jnp.maximum(proposed, floor))
+            plvs_p = populate(proposed)
+            m0 = self._marginal_of_plvs(plvs_p, q)
+
+            def in_cond(s):
+                alpha, trial, plvs_t, m = s
+                return (m < cur) & (alpha > 1.0 / 64)
+
+            def in_body(s):
+                alpha, trial, plvs_t, m = s
+                alpha = alpha / 2
+                trial = jnp.exp((1 - alpha) * log_prev + alpha * log_prop)
+                plvs_t = populate(trial)
+                return alpha, trial, plvs_t, self._marginal_of_plvs(plvs_t, q)
+
+            alpha, trial, plvs_t, m = jax.lax.while_loop(
+                in_cond, in_body,
+                (jnp.asarray(1.0, dt), proposed, plvs_p, m0),
+            )
+            improved = m >= cur
+            bl_n = jnp.where(improved, trial, bl)
+            plvs_n = jax.tree.map(
+                lambda a, b: jnp.where(improved, a, b), plvs_t, plvs
+            )
+            cur_n = jnp.where(improved, m, cur)
+            done_n = (~improved) | (jnp.abs(m - cur) < tol)
+            return i + 1, bl_n, plvs_n, cur_n, done_n
+
+        i, bl, plvs, cur, done = jax.lax.while_loop(
+            outer_cond, outer_body,
+            (jnp.asarray(0, jnp.int32), bl0, plvs0, cur0,
+             jnp.asarray(False)),
+        )
+        return bl, plvs, cur, i
+
+    def run_branch_ascent(self, tol: float, max_iter: int):
+        """Device-resident EstimateBranchLengths; returns (marginal, iters)."""
+        if self._ascent_jit is None:
+            self._ascent_jit = jax.jit(self._ascent_impl)
+        bl, plvs, cur, iters = self._ascent_jit(
+            jnp.asarray(self.branch_lengths, self.dtype),
+            jnp.asarray(self.q, self.dtype),
+            jnp.asarray(tol, self.dtype),
+            jnp.asarray(max_iter, jnp.int32),
+        )
+        self.branch_lengths = np.asarray(bl)
+        self.plvs = plvs
+        self.compute_likelihoods()
+        return float(cur), int(iters)
+
     # -- branch optimization -------------------------------------------------
     def _optimize_impl(self, plvs, bl):
         """One vectorized golden-section sweep over all edges.
@@ -472,6 +579,18 @@ class GPEngine:
         return bl.at[g].set(jnp.exp(new_log))
 
     def optimize_branch_lengths_sweep(self):
+        if self.use_pallas:
+            from .engine_pallas import optimize_sweep_pallas
+
+            self.branch_lengths = np.asarray(
+                optimize_sweep_pallas(
+                    self,
+                    self.plvs,
+                    jnp.asarray(self.branch_lengths, self.dtype),
+                    interpret=self.pallas_interpret,
+                )
+            )
+            return
         self.branch_lengths = np.asarray(
             self._optimize_jit(
                 {k: jnp.asarray(v, self.dtype) for k, v in self.plvs.items()},

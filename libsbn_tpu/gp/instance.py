@@ -88,7 +88,9 @@ class GPInstance:
     def compute_marginal_likelihood(self):
         self.compute_likelihoods()
 
-    def estimate_branch_lengths(self, tol: float, max_iter: int, quiet=True):
+    def estimate_branch_lengths(
+        self, tol: float, max_iter: int, quiet=True, device_loop=None
+    ):
         """Coordinate ascent: vectorized branch sweeps until the marginal
         log likelihood converges (EstimateBranchLengths).
 
@@ -96,8 +98,18 @@ class GPInstance:
         which can overshoot and oscillate where the reference's sequential
         tidy-traversal (Gauss-Seidel) would not; a backtracking line search
         in log-branch-length space damps each sweep until the marginal
-        improves, restoring monotone ascent."""
+        improves, restoring monotone ascent.
+
+        By default (quiet=True) the WHOLE ascent runs as one device program
+        (engine.run_branch_ascent) — on the tunneled TPU the host loop pays
+        a ~30 ms round trip per device call. quiet=False keeps the host
+        loop for per-iteration reporting; device_loop overrides."""
         engine = self.get_engine()
+        if device_loop is None:
+            device_loop = quiet
+        if device_loop:
+            engine.run_branch_ascent(tol, max_iter)
+            return
         engine.populate_plvs()
         engine.compute_likelihoods()
         current = engine.get_log_marginal_likelihood()

@@ -117,3 +117,30 @@ def test_pallas_f32_interpret_tracks_f64():
     inst32.compute_likelihoods()
     marg32 = eng.get_log_marginal_likelihood()
     assert abs(marg32 - marg64) < 1e-2 * (1 + abs(marg64))
+
+
+def test_device_ascent_matches_host_loop():
+    """run_branch_ascent (one-program coordinate ascent) reproduces the
+    host loop's fit on both populate paths (f64, CPU)."""
+    for use_pallas in (False, True):
+        res = {}
+        for device_loop in (False, True):
+            inst = make_instance("five_taxon.fasta", "five_taxon_rooted.nwk")
+            eng = inst.get_engine()
+            eng.use_pallas = use_pallas
+            eng.pallas_interpret = use_pallas
+            inst.hot_start_branch_lengths()
+            inst.estimate_branch_lengths(
+                1e-4, 10, quiet=True, device_loop=device_loop
+            )
+            res[device_loop] = (
+                eng.get_log_marginal_likelihood(),
+                eng.branch_lengths.copy(),
+            )
+        # The marginal evaluation orders differ (host: full rows path;
+        # device: root rows only), so stopping points can differ by one
+        # damping step — gate at fit-tolerance scale.
+        assert abs(res[True][0] - res[False][0]) < 1e-6, (use_pallas, res)
+        np.testing.assert_allclose(
+            res[True][1], res[False][1], rtol=1e-3, atol=1e-8
+        )

@@ -77,7 +77,12 @@ def _kernel(
     PT = w_ref.shape[1]
     R = 4 * K  # slab rows
     dt = P_ref.dtype
-    tiny = jnp.asarray(1e-30, dt)
+    # bf16 slabs keep partials/dots in bf16 (memory + MXU), but scales,
+    # logscale accumulation, derivative ratios, and outputs stay f32:
+    # Mosaic rejects bf16 compares, and a ~1e4-magnitude log-likelihood in
+    # bf16 would lose ~30 units.
+    cdt = jnp.float32 if dt == jnp.bfloat16 else dt
+    tiny = jnp.asarray(1e-30, cdt)
 
     def pmat(node, k):
         return P_ref[0, pl.ds(node * K + k, 1), :, :][0]  # (4, 4)
@@ -125,20 +130,20 @@ def _kernel(
         k1 = sched_ref[0, s, 1]
         k2 = sched_ref[0, s, 2]
         prod = read(E, k0) * read(E, k1) * read(E, k2)  # (R, PT)
-        scale = jnp.max(prod, axis=0, keepdims=True)
+        scale = jnp.max(prod.astype(cdt), axis=0, keepdims=True)
         scale = jnp.where(scale > 0, scale, jnp.ones_like(scale))
-        prod = prod / scale
+        prod = (prod.astype(cdt) / scale).astype(dt)
         node = L + s
         write(E, node, apply_blocks(lambda k: pmat(node, k), prod))
         return logscale + jnp.log(scale)
 
     logscale = jax.lax.fori_loop(
-        0, n_steps, fwd_body, jnp.zeros((1, PT), dt)
+        0, n_steps, fwd_body, jnp.zeros((1, PT), cdt)
     )
 
     # -- root log-likelihood: bl[root] = 0 so P_root = I and E[root] = M[root].
-    Eroot = E[root_id : root_id + 1, :, :][0]  # (R, PT), static
-    site = jnp.zeros((1, PT), dt)
+    Eroot = E[root_id : root_id + 1, :, :][0].astype(cdt)  # (R, PT), static
+    site = jnp.zeros((1, PT), cdt)
     for k in range(K):
         for i in range(4):
             site = site + (props_ref[0, k] * freqs_ref[0, i]) * Eroot[
@@ -181,14 +186,14 @@ def _kernel(
         ):
             u = ev_up * a * b  # (R, PT); scales cancel in the ratio
             qe = apply_blocks(lambda k: q_ref[k], ekid)
-            denom = jnp.sum(u * ekid, axis=0, keepdims=True)
-            num = jnp.sum(u * qe, axis=0, keepdims=True)
+            denom = jnp.sum((u * ekid).astype(cdt), axis=0, keepdims=True)
+            num = jnp.sum((u * qe).astype(cdt), axis=0, keepdims=True)
             G[pl.ds(kid, 1), :, :] = (
                 w_ref[:] * num / jnp.maximum(denom, tiny)
             )[None]
-            sc = jnp.max(u, axis=0, keepdims=True)
+            sc = jnp.max(u.astype(cdt), axis=0, keepdims=True)
             sc = jnp.where(sc > 0, sc, jnp.ones_like(sc))
-            write(U, kid, u / sc)
+            write(U, kid, (u.astype(cdt) / sc).astype(dt))
         return c
 
     jax.lax.fori_loop(0, n_steps, up_body, 0)
@@ -220,6 +225,7 @@ def _pallas_ll_grad(
     T = PT // tile
     L = leaf_count
     dt = P.dtype
+    cdt = jnp.float32 if dt == jnp.bfloat16 else dt
     P2 = P.reshape(B, N1 * K, 4, 4)
 
     kernel = functools.partial(_kernel, leaf_count=L, root_id=root_id, K=K)
@@ -273,13 +279,13 @@ def _pallas_ll_grad(
                 ),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((B, T, 1, 1), dt),
-                jax.ShapeDtypeStruct((B, T, N1, 1), dt),
+                jax.ShapeDtypeStruct((B, T, 1, 1), cdt),
+                jax.ShapeDtypeStruct((B, T, N1, 1), cdt),
             ],
             scratch_shapes=[
                 pltpu.VMEM((N1, 4 * K, tile), dt),
                 pltpu.VMEM((N1, 4 * K, tile), dt),
-                pltpu.VMEM((N1, 1, tile), dt),
+                pltpu.VMEM((N1, 1, tile), cdt),
             ],
             interpret=interpret,
         )(post_children, freqs, props, Q, P2, tips, weights)
@@ -344,9 +350,10 @@ def log_likelihood_and_branch_gradient_pallas(
         tile = _auto_tile(
             P.shape[1], K, leaf_count, w_p.shape[0], jnp.dtype(P.dtype).itemsize
         )
-    w2 = jnp.asarray(w_p, P.dtype)[None, :]
-    f2 = jnp.asarray(freqs, P.dtype)[None, :]
-    pr2 = jnp.asarray(props, P.dtype)[None, :]
+    cdt = jnp.float32 if P.dtype == jnp.bfloat16 else P.dtype
+    w2 = jnp.asarray(w_p, cdt)[None, :]
+    f2 = jnp.asarray(freqs, cdt)[None, :]
+    pr2 = jnp.asarray(props, cdt)[None, :]
     ll, grad = _pallas_ll_grad(
         jnp.asarray(post_children, jnp.int32),
         P,

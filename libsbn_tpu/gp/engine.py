@@ -91,6 +91,7 @@ class GPEngine:
         self.log_likelihood_rows = np.full((E, self.patterns), -np.inf)
         self.log_marginal_per_site = np.full(self.patterns, -np.inf)
         self.hybrid_marginal_log_likelihoods = np.full(E, -np.inf)
+        self._hybrid_chunk_jit = None
 
         self.rootward_levels, self.leafward_levels = dag.level_schedules()
         self.root_ids = np.asarray(dag.rootsplit_node_ids(), dtype=np.int32)
@@ -720,6 +721,116 @@ class GPEngine:
         self.hybrid_marginal_log_likelihoods[request.central_gpcsp_idx] = logsumexp(
             results
         )
+
+    def process_quartet_hybrid_requests(self, requests, chunk: int = 4096):
+        """Batched form of process_quartet_hybrid_request: flattens every
+        quartet combination (rootward x sister x rotated x sorted) across ALL
+        requests into index arrays and evaluates them in one vectorized
+        device program per chunk, replacing the reference's 4-level nested
+        per-edge loop (gp_engine.cpp:396-460) with (C,4,4)x(C,4,S) einsums
+        and a final per-central-edge logsumexp."""
+        from scipy.special import logsumexp
+
+        reqs = [r for r in requests if r.is_fully_formed()]
+        if not reqs:
+            return
+        rows = []
+        segs = []
+        centrals = []
+        for seg, req in enumerate(reqs):
+            centrals.append(req.central_gpcsp_idx)
+            for rw in req.rootward_tips:
+                for si in req.sister_tips:
+                    for rt in req.rotated_tips:
+                        for so in req.sorted_tips:
+                            rows.append(
+                                (
+                                    rw.node_id, int(rw.rotated), rw.gpcsp_idx,
+                                    si.node_id, si.gpcsp_idx,
+                                    req.central_gpcsp_idx,
+                                    rt.node_id, rt.gpcsp_idx,
+                                    so.node_id, so.gpcsp_idx,
+                                )
+                            )
+                            segs.append(seg)
+        idx = np.asarray(rows, np.int32)
+        segs = np.asarray(segs, np.int64)
+        C = idx.shape[0]
+
+        if self._hybrid_chunk_jit is None:
+            def _chunk(plvs, bl, qv, log_inv_prior, log_node_prob, w, ix):
+                (rn, rrot, rg, sn, sg, cg, tn, tg, un, ug) = (
+                    ix[:, k] for k in range(10)
+                )
+                r_plv = jnp.where(
+                    rrot[:, None, None].astype(bool),
+                    plvs["rtilde"][rn], plvs["r"][rn],
+                )
+                ls_root = jnp.where(
+                    rrot.astype(bool), plvs["ls_rtilde"][rn], plvs["ls_r"][rn]
+                )
+                quartet_root = jnp.einsum(
+                    "cij,cjs->cis", _jc69_transition(bl[rg]), r_plv
+                )
+                r_s = quartet_root * jnp.einsum(
+                    "cij,cjs->cis", _jc69_transition(bl[sg]), plvs["p"][sn]
+                )
+                q_s = jnp.einsum(
+                    "cij,cjs->cis", _jc69_transition(bl[cg]), r_s
+                )
+                r_sorted = q_s * jnp.einsum(
+                    "cij,cjs->cis", _jc69_transition(bl[tg]), plvs["p"][tn]
+                )
+                lik = jnp.einsum(
+                    "cis,cij,cjs->cs",
+                    r_sorted, _jc69_transition(bl[ug]), plvs["p"][un],
+                )
+                # ls_* are per-PLV log-scales; the reference instead asserts
+                # zero rescaling here (gp_engine.cpp:398-400).
+                per_pattern = (
+                    jnp.log(lik)
+                    + (
+                        ls_root + plvs["ls_p"][sn] + plvs["ls_p"][tn]
+                        + plvs["ls_p"][un] - log_node_prob[rn]
+                    )[:, None]
+                )
+                non_seq = (
+                    log_inv_prior[rg] + jnp.log(qv[sg]) + jnp.log(qv[tg])
+                    + jnp.log(qv[ug])
+                )
+                return non_seq + per_pattern @ w
+
+            import jax
+
+            self._hybrid_chunk_jit = jax.jit(_chunk)
+
+        plvs = {k: jnp.asarray(v) for k, v in self.plvs.items()}
+        bl = jnp.asarray(self.branch_lengths, plvs["p"].dtype)
+        qv = jnp.asarray(self.q, plvs["p"].dtype)
+        log_inv_prior = jnp.log(
+            jnp.asarray(self.inverted_sbn_prior, plvs["p"].dtype)
+        )
+        log_node_prob = jnp.log(
+            jnp.asarray(self.unconditional_node_probabilities, plvs["p"].dtype)
+        )
+        w = jnp.asarray(self.weights, plvs["p"].dtype)
+        vals = np.empty(C)
+        for start in range(0, C, chunk):
+            ix = idx[start : start + chunk]
+            pad = chunk - ix.shape[0] if C > chunk else 0
+            if pad:
+                ix = np.pad(ix, ((0, pad), (0, 0)))
+            out = np.asarray(
+                self._hybrid_chunk_jit(
+                    plvs, bl, qv, log_inv_prior, log_node_prob, w,
+                    jnp.asarray(ix),
+                )
+            )
+            vals[start : start + chunk] = out[: chunk - pad if pad else None]
+        for seg, central in enumerate(centrals):
+            self.hybrid_marginal_log_likelihoods[central] = logsumexp(
+                vals[segs == seg]
+            )
 
     # -- hot start ------------------------------------------------------------
     def hot_start_branch_lengths(self, tree_collection, indexer):

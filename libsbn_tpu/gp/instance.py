@@ -163,12 +163,12 @@ class GPInstance:
     def calculate_hybrid_marginals(self):
         engine = self.get_engine()
         engine.populate_plvs()
-        for parent_id, rotated, child_id, _ in (
-            self.dag.reverse_postorder_index_traversal()
-        ):
-            engine.process_quartet_hybrid_request(
-                quartet_hybrid_request_of(self.dag, parent_id, rotated, child_id)
+        engine.process_quartet_hybrid_requests(
+            quartet_hybrid_request_of(self.dag, parent_id, rotated, child_id)
+            for parent_id, rotated, child_id, _ in (
+                self.dag.reverse_postorder_index_traversal()
             )
+        )
 
     def hot_start_branch_lengths(self):
         if self.engine is None:

@@ -209,3 +209,33 @@ def test_gpcsp_index_traversal_consistency():
         dag.reverse_postorder_index_traversal()
     ):
         assert dag.gpcsp_index_of_ids(parent_id, child_id) == gpcsp_idx
+
+
+def test_batched_hybrid_requests_match_sequential():
+    """The batched (flattened-combination) hybrid path equals the
+    per-request port across a whole DAG's worth of requests."""
+    inst = make_instance(
+        "7-taxon-slice-of-ds1.fasta", "second-simplest-hybrid-marginal.nwk"
+    )
+    dag = inst.dag
+    eng = inst.get_engine()
+    rng = np.random.default_rng(13)
+    eng.branch_lengths = rng.uniform(1e-6, 0.1, dag.gpcsp_count_with_fake())
+    inst.populate_plvs()
+
+    requests = [
+        quartet_hybrid_request_of(dag, parent_id, rotated, child_id)
+        for parent_id, rotated, child_id, _ in (
+            dag.reverse_postorder_index_traversal()
+        )
+    ]
+    for req in requests:
+        eng.process_quartet_hybrid_request(req)
+    sequential = eng.hybrid_marginal_log_likelihoods.copy()
+
+    eng.hybrid_marginal_log_likelihoods[:] = -np.inf
+    # Tiny chunk to exercise the padding/chunk-boundary logic.
+    eng.process_quartet_hybrid_requests(requests, chunk=7)
+    np.testing.assert_allclose(
+        eng.hybrid_marginal_log_likelihoods, sequential, atol=1e-10
+    )

@@ -45,5 +45,11 @@ if not _os.environ.get("LIBSBN_TPU_NO_CACHE"):
 __version__ = "0.1.0"
 
 from .instance import RootedInstance, UnrootedInstance  # noqa: E402
+from .instance.rooted import ratio_gradient_of_height_gradient  # noqa: E402
 
-__all__ = ["RootedInstance", "UnrootedInstance", "__version__"]
+__all__ = [
+    "RootedInstance",
+    "UnrootedInstance",
+    "ratio_gradient_of_height_gradient",
+    "__version__",
+]

@@ -233,6 +233,23 @@ class GPInstance:
             [t.topology for t in self.tree_collection.trees]
         )
 
+    def export_trees(self, path: str):
+        """Write the loaded trees with GP branch lengths
+        (GPInstance::ExportTrees, gp_instance.cpp:348-351)."""
+        self.currently_loaded_trees_with_gp_branch_lengths().to_newick_file(path)
+
+    def export_trees_with_a_pcsp(self, pcsp_string: str, path: str):
+        """Loaded trees containing the PCSP, with GP branch lengths
+        (GPInstance::ExportTreesWithAPCSP, gp_instance.cpp:353-362)."""
+        self.currently_loaded_trees_with_a_pcsp_string_and_gp_branch_lengths(
+            pcsp_string
+        ).to_newick_file(path)
+
+    def print_dag(self):
+        """Print the DAG nodes (SubsplitDAG::Print, subsplit_dag.cpp:61-65)."""
+        for node in self.dag.nodes:
+            print(node)
+
     def export_all_generated_trees(self, path: str):
         """Write every DAG-spanned tree with GP branch lengths
         (gp_instance ExportAllGeneratedTrees)."""

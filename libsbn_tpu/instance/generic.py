@@ -26,6 +26,7 @@ from ..models.phylo_model import (
     PhyloModelSpec,
     block_specification,
     default_parameters,
+    flat_from_parameters,
     parameters_from_flat,
 )
 from ..ops import schedule as schedule_ops
@@ -52,6 +53,7 @@ class GenericSBNInstance:
         self.engine: Optional[LikelihoodEngine] = None
         self.phylo_model_spec: Optional[PhyloModelSpec] = None
         self.phylo_model_params: Dict = {}
+        self.phylo_model_params_matrix: Optional[np.ndarray] = None
         self.rescaling = True
         self._sampler: Optional[sampling.SBNSampler] = None
         self._seed = 0
@@ -227,6 +229,11 @@ class GenericSBNInstance:
         self.phylo_model_spec = spec
         self.phylo_model_params = default_parameters(spec)
         self.engine = LikelihoodEngine(site_pattern, spec, rescale=rescaling)
+        # The parameter matrix is created lazily (get_phylo_model_params /
+        # resize_phylo_model_params): direct pytree users never pay for it.
+        self.phylo_model_params_matrix = None
+        if tree_count_option is not None:
+            self.resize_phylo_model_params(tree_count_option)
         return self.engine
 
     def get_phylo_model_block_specification(self):
@@ -234,6 +241,76 @@ class GenericSBNInstance:
 
     def set_phylo_model_params_from_flat(self, v):
         self.phylo_model_params = parameters_from_flat(self.phylo_model_spec, v)
+        self.phylo_model_params_matrix = None
+
+    # -- per-tree parameter matrix (GetPhyloModelParams /
+    # GetPhyloModelParamBlockMap / ResizePhyloModelParams,
+    # generic_sbn_instance.hpp:221-270). The reference hands Python a
+    # mutable Eigen matrix with one row per tree plus named column-block
+    # views; here the matrix is a plain numpy array (rows users edit in
+    # place) synced to parameter pytrees at compute time.
+    def resize_phylo_model_params(self, tree_count_option: Optional[int] = None):
+        if self.phylo_model_spec is None:
+            raise RuntimeError(
+                "Please call prepare_for_phylo_likelihood to make an engine "
+                "before resizing the parameter matrix."
+            )
+        count = (
+            tree_count_option
+            if tree_count_option is not None
+            else self.tree_collection.tree_count()
+        )
+        row = flat_from_parameters(self.phylo_model_spec, self.phylo_model_params)
+        mat = np.tile(row, (count, 1))
+        old = getattr(self, "phylo_model_params_matrix", None)
+        if old is not None and old.shape[1] == mat.shape[1]:
+            keep = min(count, old.shape[0])
+            mat[:keep] = old[:keep]
+        self.phylo_model_params_matrix = mat
+        return mat
+
+    def get_phylo_model_params(self) -> np.ndarray:
+        if getattr(self, "phylo_model_params_matrix", None) is None:
+            self.resize_phylo_model_params()
+        return self.phylo_model_params_matrix
+
+    def get_phylo_model_param_block_map(self) -> Dict[str, np.ndarray]:
+        """Named mutable column-block views of the parameter matrix."""
+        mat = self.get_phylo_model_params()
+        bs = block_specification(self.phylo_model_spec)
+        return {
+            key: mat[:, start : start + size]
+            for key, (start, size) in bs.get_map().items()
+        }
+
+    def _compute_params(self):
+        """(params, per_tree): the pytree the engine should see. With a
+        parameter matrix whose rows differ, every leaf gains a leading
+        tree axis (the reference evaluates param_matrix.row(i) per tree,
+        fat_beagle.hpp:144)."""
+        mat = getattr(self, "phylo_model_params_matrix", None)
+        if mat is None:
+            return self.phylo_model_params, False
+        B = self.tree_collection.tree_count()
+        if mat.shape[0] < B:
+            raise ValueError(
+                f"Parameter matrix has {mat.shape[0]} rows < {B} trees; "
+                "call resize_phylo_model_params."
+            )
+        if np.all(mat[:B] == mat[0]):
+            self.phylo_model_params = parameters_from_flat(
+                self.phylo_model_spec, mat[0]
+            )
+            return self.phylo_model_params, False
+        import jax
+
+        rows = [
+            parameters_from_flat(self.phylo_model_spec, mat[i])
+            for i in range(B)
+        ]
+        import jax.numpy as jnp
+
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *rows), True
 
     def set_rescaling(self, rescaling: bool):
         if self.engine is not None:

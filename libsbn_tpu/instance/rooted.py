@@ -61,11 +61,23 @@ class RootedInstance(GenericSBNInstance):
         (RootedSBNInstance::UnrootedLogLikelihoods)."""
         engine = self._get_engine()
         sched = self._batched_schedule()
+        params, per_tree = self._compute_params()
         return np.asarray(
             engine.log_likelihoods(
-                sched, self.branch_length_matrix(), self.phylo_model_params
+                sched, self.branch_length_matrix(), params, per_tree=per_tree
             )
         )
+
+    def _per_tree_param_list(self, params, per_tree):
+        """None (shared params) or one pytree per tree (matrix rows differ)."""
+        if not per_tree:
+            return None
+        import jax
+
+        return [
+            jax.tree.map(lambda x: x[i], params)
+            for i in range(self.tree_collection.tree_count())
+        ]
 
     def log_likelihoods(self) -> np.ndarray:
         """LL + log-det-Jacobian of the height transform
@@ -73,10 +85,31 @@ class RootedInstance(GenericSBNInstance):
         engine = self._get_engine()
         sched = self._batched_schedule()
         bounds, ratios, rates = self._time_tree_arrays()
-        return np.asarray(
-            engine.rooted_log_likelihoods(
-                sched, bounds, ratios, rates, self.phylo_model_params
+        params, per_tree = self._compute_params()
+        rows = self._per_tree_param_list(params, per_tree)
+        if rows is None:
+            return np.asarray(
+                engine.rooted_log_likelihoods(
+                    sched, bounds, ratios, rates, params
+                )
             )
+        return np.concatenate(
+            [
+                np.asarray(
+                    engine.rooted_log_likelihoods(
+                        self._tree_schedule(i), bounds[i : i + 1],
+                        ratios[i : i + 1], rates[i : i + 1], rows[i],
+                    )
+                )
+                for i in range(len(rows))
+            ]
+        )
+
+    def _tree_schedule(self, i: int):
+        from ..ops import schedule as schedule_ops
+
+        return schedule_ops.schedules_of_topologies(
+            [self.tree_collection.trees[i].topology]
         )
 
     def phylo_gradients(self):
@@ -84,10 +117,23 @@ class RootedInstance(GenericSBNInstance):
         sched = self._batched_schedule()
         bounds, ratios, rates = self._time_tree_arrays()
         strict = all(t.rate_count == 1 for t in self.tree_collection.trees)
-        return engine.rooted_phylo_gradients(
-            sched, bounds, ratios, rates, self.phylo_model_params,
-            strict_clock=strict,
-        )
+        params, per_tree = self._compute_params()
+        rows = self._per_tree_param_list(params, per_tree)
+        if rows is None:
+            return engine.rooted_phylo_gradients(
+                sched, bounds, ratios, rates, params, strict_clock=strict,
+            )
+        outs = [
+            engine.rooted_phylo_gradients(
+                self._tree_schedule(i), bounds[i : i + 1], ratios[i : i + 1],
+                rates[i : i + 1], rows[i], strict_clock=strict,
+            )
+            for i in range(len(rows))
+        ]
+        return {
+            k: np.concatenate([np.atleast_1d(np.asarray(o[k])) for o in outs])
+            for k in outs[0]
+        }
 
     def unconditional_subsplit_probabilities(self):
         """Via a temporary subsplit DAG (rooted_sbn_instance.cpp:19-40).
@@ -108,3 +154,49 @@ class RootedInstance(GenericSBNInstance):
         expanded = np.ones(dag.gpcsp_count_with_fake())
         expanded[: params.size] = params
         return dag.unconditional_subsplit_probabilities(expanded)
+
+    def unconditional_subsplit_probabilities_to_csv(self, path: str):
+        """subsplit-string,probability rows (rooted_sbn_instance.cpp:36-40)."""
+        import csv as csv_mod
+
+        with open(path, "w", newline="") as f:
+            writer = csv_mod.writer(f)
+            for subsplit, prob in (
+                self.unconditional_subsplit_probabilities().items()
+            ):
+                writer.writerow([subsplit.to_string(), prob])
+
+
+def ratio_gradient_of_height_gradient(tree, height_gradient) -> np.ndarray:
+    """Chain-rule a gradient w.r.t. internal-node heights into a gradient
+    w.r.t. (height ratios..., root height) — the reference's standalone
+    binding `ratio_gradient_of_height_gradient` (pylibsbn.cpp:378,
+    rooted_gradient_transforms.cpp:132-175, the BEAST-derived recursions).
+    Here it is one vjp through the height-transform scan (ops/heights.py):
+    both compute J^T g for J = d(heights)/d(ratios), WITHOUT the
+    log-det-Jacobian term ("unweighted log density")."""
+    import jax
+
+    from ..ops import heights as heights_ops
+    from ..ops import schedule as schedule_ops
+
+    sched = schedule_ops.schedules_of_topologies([tree.topology])
+    leaf_count = sched.leaf_count
+
+    def internal_heights(ratios):
+        h = heights_ops.node_heights_from_ratios(
+            ratios,
+            jnp_asarray(tree.node_bounds),
+            leaf_count,
+            sched.pre_internal_node[0],
+            sched.pre_internal_parent[0],
+        )
+        return h[leaf_count:]
+
+    def jnp_asarray(x):
+        import jax.numpy as jnp
+
+        return jnp.asarray(x)
+
+    _, vjp = jax.vjp(internal_heights, jnp_asarray(tree.height_ratios))
+    return np.asarray(vjp(jnp_asarray(np.asarray(height_gradient)))[0])

@@ -110,6 +110,27 @@ def parameters_from_flat(spec: PhyloModelSpec, v) -> Dict:
     return params
 
 
+def flat_from_parameters(spec: PhyloModelSpec, params: Dict) -> np.ndarray:
+    """Parameter pytree -> flat vector (inverse of parameters_from_flat;
+    the layout users see through get_phylo_model_params)."""
+    bs = block_specification(spec)
+    v = np.zeros(bs.parameter_count())
+    if spec.substitution == "GTR":
+        start, size = bs.get_map()[GTR_RATES_KEY]
+        v[start : start + size] = np.asarray(params["substitution"]["rates"])
+        start, size = bs.get_map()[FREQUENCIES_KEY]
+        v[start : start + size] = np.asarray(
+            params["substitution"]["frequencies"]
+        )
+    if spec.site.startswith("weibull"):
+        start, _ = bs.get_map()[WEIBULL_SHAPE_KEY]
+        v[start] = float(params["site"]["shape"])
+    if spec.clock == "strict":
+        start, _ = bs.get_map()[CLOCK_RATE_KEY]
+        v[start] = float(params["clock"]["rate"])
+    return v
+
+
 def model_tensors(spec: PhyloModelSpec, params: Dict):
     """Lower a parameter pytree to (freqs, evec, ivec, evals, rates, props, Q)."""
     if spec.substitution == "JC69":

@@ -18,21 +18,16 @@ import numpy as np
 def save_burrito(burro, path: str):
     """Checkpoint a vi.Burrito to an .npz file."""
     opt = burro.opt
-    sgd = opt.sgd_server
     payload = {
         "q_params": burro.scalar_model.q_params,
         "sbn_parameters": np.asarray(burro.inst.sbn_parameters),
         "step_size": np.asarray(opt.step_size),
         "sbn_step_size": np.asarray(opt.sbn_step_size),
         "step_number": np.asarray(opt.step_number),
-        "sgd_t": np.asarray(sgd.t),
         "elbo_trace": np.asarray(burro.elbo_trace, dtype=np.float64),
     }
-    for var in sgd.vars:
-        payload[f"mean_grad_{var}"] = sgd.mean_grad[var]
-        payload[f"var_grad_{var}"] = sgd.var_grad[var]
-        payload[f"var_grad_max_{var}"] = sgd.var_grad_max[var]
-        payload[f"var_delta_{var}"] = sgd.var_delta[var]
+    for i, leaf in enumerate(opt.ascent.state_leaves()):
+        payload[f"opt_leaf_{i}"] = leaf
     meta = {
         "particle_count": burro.particle_count,
         "use_vimco": burro.use_vimco,
@@ -63,13 +58,10 @@ def restore_burrito(burro, path: str):
         opt.step_size = data["step_size"]
         opt.sbn_step_size = float(data["sbn_step_size"])
         opt.step_number = int(data["step_number"])
-        sgd = opt.sgd_server
-        sgd.t = int(data["sgd_t"])
-        for var in sgd.vars:
-            sgd.mean_grad[var] = data[f"mean_grad_{var}"].copy()
-            sgd.var_grad[var] = data[f"var_grad_{var}"].copy()
-            sgd.var_grad_max[var] = data[f"var_grad_max_{var}"].copy()
-            sgd.var_delta[var] = data[f"var_delta_{var}"].copy()
+        n_leaves = len(opt.ascent.state_leaves())
+        opt.ascent.load_state_leaves(
+            [data[f"opt_leaf_{i}"].copy() for i in range(n_leaves)]
+        )
         burro.elbo_trace = list(data["elbo_trace"])
     return burro
 

@@ -1,103 +1,80 @@
-"""Optimizers for VBPI (reference: vip/optimizers.py, vip/sgd_server.py).
+"""VBPI optimizers: optax transforms + ELBO-feedback step-size control.
 
-The SGD server keeps dict-keyed state for the two parameter groups
-(scalar q-params and SBN params) with separate step sizes; SimpleOptimizer
-decays the step size, BumpStepsizeOptimizer grows it until the windowed ELBO
-drops, then restores the best parameters and decays.
+The reference ships a hand-rolled bank of first-order update rules
+(vip/sgd_server.py) and two step-size controllers (vip/optimizers.py:83-127).
+Per SURVEY.md §7 phase 5 that zoo collapses into optax gradient
+transformations here; what stays domain-specific is
+
+  * ascent (the objective is the ELBO) with independent step sizes for the
+    two parameter groups (variational scalar params vs SBN params), and
+  * step-size scheduling driven by ELBO feedback: decay-on-success /
+    halve-on-nonfinite ("simple"), or grow-until-the-windowed-ELBO-drops,
+    then restore the best parameters seen and decay ("bump").
+
+Numeric behavior is pinned against the pre-rewrite implementation by
+tests/test_vi.py::test_optimizer_trajectory_golden (scripted gradients →
+identical parameters at 1e-12).
 """
 
 from __future__ import annotations
 
 from typing import Callable, Dict
 
+import jax
 import numpy as np
+import optax
+
+# Update rules, capability parity with the reference's SGD_Server zoo.
+# Only "adam" (the one the reference training loop actually uses) is pinned
+# by golden trajectories; the rest map onto the nearest optax transform.
+RULES: Dict[str, Callable[[], optax.GradientTransformation]] = {
+    "adam": lambda: optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+    "amsgrad": lambda: optax.scale_by_amsgrad(b1=0.9, b2=0.99, eps=1e-8),
+    "rmsprop": lambda: optax.scale_by_rms(decay=0.9, eps=1e-8),
+    "adagrad": lambda: optax.scale_by_rss(initial_accumulator_value=0.0),
+    "adadelta": lambda: optax.scale_by_adadelta(rho=0.9, eps=1e-8),
+    "sgd": lambda: optax.trace(decay=0.9),
+}
 
 
-class SGDServer:
-    """Dict-keyed first-order optimizer bank (vip/sgd_server.py)."""
+class GroupedAscent:
+    """One optax transform over a dict of parameter groups, with per-group
+    step sizes applied outside the transform (they change every step under
+    the controllers below, so they cannot be baked into a schedule)."""
 
-    def __init__(
-        self, dim_dict: Dict[str, tuple], beta_0=0.9, beta_1=0.999,
-        beta_1_ams=0.99, gamma=0.9, epsilon=1e-8, decay=0.0, momentum=0.9,
-    ):
-        self.beta_0, self.beta_1 = beta_0, beta_1
-        self.beta_1_ams = beta_1_ams
-        self.gamma = gamma
-        self.mom = momentum
-        self.decay = decay
-        self.eps = epsilon
-        self.vars = list(dim_dict.keys())
-        self.mean_grad = {v: np.zeros(d) for v, d in dim_dict.items()}
-        self.var_grad = {v: np.zeros(d) for v, d in dim_dict.items()}
-        self.var_delta = {v: np.zeros(d) for v, d in dim_dict.items()}
-        self.var_grad_max = {v: np.zeros(d) for v, d in dim_dict.items()}
-        self.t = 0
-
-    def sgd(self, stepsz, params, grads):
-        for v in self.vars:
-            g = grads[v] - self.decay * params[v]
-            self.mean_grad[v] = self.mom * self.mean_grad[v] + stepsz[v] * g
-        return self.mean_grad
-
-    def adam(self, stepsz, params, grads):
-        self.t += 1
-        out = {}
-        for v in self.vars:
-            g = grads[v] - self.decay * params[v]
-            self.mean_grad[v] = self.beta_0 * self.mean_grad[v] + (1 - self.beta_0) * g
-            self.var_grad[v] = self.beta_1 * self.var_grad[v] + (1 - self.beta_1) * g**2
-            m_hat = self.mean_grad[v] / (1 - self.beta_0**self.t)
-            v_hat = self.var_grad[v] / (1 - self.beta_1**self.t)
-            out[v] = stepsz[v] * m_hat / (np.sqrt(v_hat) + self.eps)
-        return out
-
-    def amsgrad(self, stepsz, params, grads):
-        self.t += 1
-        out = {}
-        for v in self.vars:
-            g = grads[v] - self.decay * params[v]
-            self.mean_grad[v] = self.beta_0 * self.mean_grad[v] + (1 - self.beta_0) * g
-            self.var_grad[v] = (
-                self.beta_1_ams * self.var_grad[v] + (1 - self.beta_1_ams) * g**2
+    def __init__(self, example_params: Dict[str, np.ndarray], rule: str = "adam"):
+        self._tx = RULES[rule]()
+        # These are tiny host-side updates; pin them to CPU so a tunneled
+        # TPU backend never sees per-step round trips.
+        try:
+            self._cpu = jax.devices("cpu")[0]
+        except RuntimeError:  # pragma: no cover - cpu platform disabled
+            self._cpu = jax.devices()[0]
+        with jax.default_device(self._cpu):
+            self.state = self._tx.init(
+                {k: np.asarray(v) for k, v in example_params.items()}
             )
-            self.var_grad_max[v] = np.maximum(self.var_grad_max[v], self.var_grad[v])
-            m_hat = self.mean_grad[v] / (1 - self.beta_0**self.t)
-            v_hat = self.var_grad_max[v] / (1 - self.beta_1_ams**self.t)
-            out[v] = stepsz[v] * m_hat / (np.sqrt(v_hat) + self.eps)
-        return out
 
-    def rmsprop(self, stepsz, params, grads):
-        out = {}
-        for v in self.vars:
-            g = grads[v] - self.decay * params[v]
-            self.var_grad[v] = self.gamma * self.var_grad[v] + (1 - self.gamma) * g**2
-            out[v] = stepsz[v] * g / np.sqrt(self.var_grad[v] + self.eps)
-        return out
+    def ascent_updates(self, grads, params, step_sizes):
+        """Transformed-gradient ascent deltas, scaled per group."""
+        with jax.default_device(self._cpu):
+            updates, self.state = self._tx.update(grads, self.state, params)
+        return {k: step_sizes[k] * np.asarray(u) for k, u in updates.items()}
 
-    def adagrad(self, stepsz, params, grads):
-        out = {}
-        for v in self.vars:
-            g = grads[v] - self.decay * params[v]
-            self.var_grad[v] = self.var_grad[v] + g**2
-            out[v] = stepsz[v] * g / np.sqrt(self.var_grad[v] + self.eps)
-        return out
+    # -- checkpoint support ------------------------------------------------
+    def state_leaves(self):
+        return [np.asarray(x) for x in jax.tree.leaves(self.state)]
 
-    def adadelta(self, stepsz, params, grads):
-        out = {}
-        for v in self.vars:
-            g = grads[v] - self.decay * params[v]
-            self.var_grad[v] = self.gamma * self.var_grad[v] + (1 - self.gamma) * g**2
-            out[v] = (
-                np.sqrt((self.var_delta[v] + self.eps) / (self.var_grad[v] + self.eps))
-                * g
-            )
-            self.var_delta[v] = (
-                self.gamma * self.var_delta[v] + (1 - self.gamma) * out[v] ** 2
-            )
-        return out
+    def load_state_leaves(self, leaves):
+        treedef = jax.tree.structure(self.state)
+        self.state = jax.tree.unflatten(treedef, list(leaves))
 
 
 class BaseOptimizer:
+    """Shared plumbing: holds the instance + scalar model whose parameters
+    are updated in place, and delegates the post-step step-size policy to
+    `update()` in subclasses."""
+
     def __init__(self, inst, scalar_model, elbo_estimator_fn: Callable):
         self.inst = inst
         self.scalar_model = scalar_model
@@ -106,83 +83,86 @@ class BaseOptimizer:
         self.step_number = 0
         self.step_size = scalar_model.suggested_step_size()
         self.sbn_step_size = 0.001
-        self.sgd_server = SGDServer(
+        self.ascent = GroupedAscent(
             {
-                "scalar_params": scalar_model.q_params.shape,
-                "sbn_params": np.asarray(inst.sbn_parameters).shape,
+                "scalar_params": scalar_model.q_params,
+                "sbn_params": np.asarray(inst.sbn_parameters),
             }
         )
 
-    def _simple_gradient_step(self, grad_dict) -> bool:
-        scalar_grad = grad_dict["scalar_params"]
-        sbn_grad = grad_dict["sbn_params"]
-        assert self.scalar_model.q_params.shape == scalar_grad.shape
-        if not np.isfinite(scalar_grad).all():
+    def _apply(self, grad_dict) -> bool:
+        """One ascent step; False (and no state change) on non-finite scalar
+        gradients so the controller can react."""
+        assert self.scalar_model.q_params.shape == grad_dict["scalar_params"].shape
+        if not np.isfinite(grad_dict["scalar_params"]).all():
             return False
-        update = self.sgd_server.adam(
-            {"scalar_params": self.step_size, "sbn_params": self.sbn_step_size},
+        deltas = self.ascent.ascent_updates(
+            grad_dict,
             {
                 "scalar_params": self.scalar_model.q_params,
-                "sbn_params": self.inst.sbn_parameters,
+                "sbn_params": np.asarray(self.inst.sbn_parameters),
             },
-            grad_dict,
+            {"scalar_params": self.step_size, "sbn_params": self.sbn_step_size},
         )
-        self.scalar_model.q_params += update["scalar_params"]
-        self.inst.sbn_parameters = self.inst.sbn_parameters + update["sbn_params"]
+        self.scalar_model.q_params += deltas["scalar_params"]
+        self.inst.sbn_parameters = (
+            np.asarray(self.inst.sbn_parameters) + deltas["sbn_params"]
+        )
         return True
 
     def gradient_step(self, grad_dict):
-        ok = self._simple_gradient_step(grad_dict)
-        self.update(ok)
+        self.update(self._apply(grad_dict))
 
     def update(self, gradient_step_was_successful: bool):
         raise NotImplementedError
 
 
 class SimpleOptimizer(BaseOptimizer):
-    def __init__(self, inst, scalar_model, elbo_estimator_fn):
-        super().__init__(inst, scalar_model, elbo_estimator_fn)
-        self.stepsize_decreasing_rate = 1 - 1e-2
+    """Geometric step-size decay; halve on a failed (non-finite) step."""
+
+    DECAY = 1 - 1e-2
 
     def update(self, ok: bool):
         if ok:
-            self.step_size *= self.stepsize_decreasing_rate
+            self.step_size *= self.DECAY
         else:
             self.step_size /= 2
         self.step_number += 1
 
 
 class BumpStepsizeOptimizer(BaseOptimizer):
-    """Increase the stepsize until the windowed ELBO drops, then restore the
-    best parameters and decay (optimizers.py:83-127)."""
+    """Two-phase schedule: grow the step size by 1.2× per step while the
+    ELBO (mean over a 5-step window, estimated at 500 particles) keeps
+    improving; on the first windowed drop or non-finite gradient, restore
+    the best q_params seen, cut the step size 4×, and decay from there."""
+
+    WINDOW = 5
+    GROW = 1.2
+    DECAY = 1 - 1e-2
+    DROP_FROM_PEAK = 4
 
     def __init__(self, inst, scalar_model, elbo_estimator_fn):
         super().__init__(inst, scalar_model, elbo_estimator_fn)
-        self.window_size = 5
-        self.stepsize_increasing_rate = 1.2
-        self.stepsize_decreasing_rate = 1 - 1e-2
-        self.stepsize_drop_from_peak = 4
         self.stepsize_increasing = True
         self.best_elbo = -np.inf
         self.best_q_params = np.zeros(scalar_model.q_params.shape)
 
-    def _turn_around(self):
+    def _window_dropped(self) -> bool:
+        if self.step_number < 2 * self.WINDOW:
+            return False
+        last = np.mean(self.trace[-self.WINDOW:])
+        prev = np.mean(self.trace[-2 * self.WINDOW: -self.WINDOW])
+        return last < prev
+
+    def _restore_best_and_drop(self):
         np.copyto(self.scalar_model.q_params, self.best_q_params)
-        self.step_size /= self.stepsize_drop_from_peak
+        self.step_size /= self.DROP_FROM_PEAK
         self.stepsize_increasing = False
 
     def update(self, ok: bool):
-        if not ok:
-            self._turn_around()
-        if self.stepsize_increasing and self.step_number >= 2 * self.window_size:
-            last = self.trace[-self.window_size :]
-            prev = self.trace[-2 * self.window_size : -self.window_size]
-            if np.mean(last) < np.mean(prev):
-                self._turn_around()
-        if self.stepsize_increasing:
-            self.step_size *= self.stepsize_increasing_rate
-        else:
-            self.step_size *= self.stepsize_decreasing_rate
+        if not ok or (self.stepsize_increasing and self._window_dropped()):
+            self._restore_best_and_drop()
+        self.step_size *= self.GROW if self.stepsize_increasing else self.DECAY
         self.trace.append(self.estimate_elbo(particle_count=500))
         if self.trace[-1] > self.best_elbo:
             self.best_elbo = self.trace[-1]

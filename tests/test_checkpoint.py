@@ -39,7 +39,10 @@ def test_burrito_checkpoint_roundtrip(tmp_path):
         fresh.inst.sbn_parameters, burro.inst.sbn_parameters
     )
     assert fresh.opt.step_number == burro.opt.step_number
-    assert fresh.opt.sgd_server.t == burro.opt.sgd_server.t
+    for mine, theirs in zip(
+        fresh.opt.ascent.state_leaves(), burro.opt.ascent.state_leaves()
+    ):
+        np.testing.assert_array_equal(mine, theirs)
     # Training continues from the restored state without error.
     fresh.gradient_steps(2)
     assert len(fresh.elbo_trace) == 7

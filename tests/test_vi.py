@@ -129,6 +129,67 @@ def test_gradient_steps_improve_elbo(branch_model_name):
     assert np.isfinite(ml)
 
 
+def test_optimizer_trajectory_golden():
+    """The optax-based optimizers must reproduce the reference optimizer
+    semantics (vip/optimizers.py:83-127, vip/sgd_server.py adam) exactly:
+    golden trajectories recorded from the pre-rewrite port on scripted
+    gradients (tools/capture_opt_golden.py), including a non-finite step at
+    t=7 and a forced windowed-ELBO turn-around."""
+    from libsbn_tpu.vi import optimizers
+
+    class DummyScalarModel:
+        def __init__(self):
+            self.q_params = np.zeros((4, 2))
+
+        def suggested_step_size(self):
+            return 0.1
+
+    class DummyInst:
+        def __init__(self):
+            self.sbn_parameters = np.zeros(6)
+
+    def run(opt_name, steps=25):
+        rng = np.random.default_rng(42)
+        sm, inst = DummyScalarModel(), DummyInst()
+        elbo_script = iter(np.concatenate([
+            np.linspace(-100.0, -80.0, 12),
+            np.linspace(-85.0, -95.0, 8),
+            np.linspace(-90.0, -88.0, 10),
+        ]))
+        opt = optimizers.of_name(
+            opt_name, inst, sm, lambda particle_count: next(elbo_script)
+        )
+        for t in range(steps):
+            g_scalar = rng.normal(size=sm.q_params.shape)
+            g_sbn = rng.normal(size=inst.sbn_parameters.shape)
+            if t == 7:
+                g_scalar[0, 0] = np.nan
+            opt.gradient_step({"scalar_params": g_scalar, "sbn_params": g_sbn})
+        return sm.q_params, np.asarray(inst.sbn_parameters), opt.step_size
+
+    golden_sbn = [0.00625997775297908, -0.00482123994754173,
+                  -0.00356712387527671, -0.00282605875008791,
+                  0.00520004015586435, 0.00412473711705528]
+
+    q, sbn, step = run("simple")
+    np.testing.assert_allclose(q, [
+        [0.23821568852482944, -0.4106849239434605],
+        [0.37644719998301396, 0.36710732397569545],
+        [-0.5150804716844086, -0.6357384987438139],
+        [0.43277085260722786, -0.0312598286768741]], rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(sbn, golden_sbn, rtol=1e-12, atol=1e-14)
+    assert step == pytest.approx(0.03928390704036094, rel=1e-12)
+
+    q, sbn, step = run("bump")
+    np.testing.assert_allclose(q, [
+        [0.15261367830466793, -0.5971235845294068],
+        [0.5380459394059177, 0.6889955471485564],
+        [-0.9007971628919077, -1.0723958517501575],
+        [0.8193473043582463, 0.14955118246467874]], rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(sbn, golden_sbn, rtol=1e-12, atol=1e-14)
+    assert step == pytest.approx(0.07475534218409334, rel=1e-12)
+
+
 @pytest.mark.parametrize(
     "name", ["tf_lognormal", "tf_gamma", "tf_truncated_lognormal"]
 )

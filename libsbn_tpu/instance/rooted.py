@@ -68,48 +68,18 @@ class RootedInstance(GenericSBNInstance):
             )
         )
 
-    def _per_tree_param_list(self, params, per_tree):
-        """None (shared params) or one pytree per tree (matrix rows differ)."""
-        if not per_tree:
-            return None
-        import jax
-
-        return [
-            jax.tree.map(lambda x: x[i], params)
-            for i in range(self.tree_collection.tree_count())
-        ]
-
     def log_likelihoods(self) -> np.ndarray:
         """LL + log-det-Jacobian of the height transform
-        (fat_beagle.cpp LogLikelihood(RootedTree))."""
+        (fat_beagle.cpp LogLikelihood(RootedTree)). Heterogeneous per-tree
+        parameter rows stay one vmapped program (per_tree=True)."""
         engine = self._get_engine()
         sched = self._batched_schedule()
         bounds, ratios, rates = self._time_tree_arrays()
         params, per_tree = self._compute_params()
-        rows = self._per_tree_param_list(params, per_tree)
-        if rows is None:
-            return np.asarray(
-                engine.rooted_log_likelihoods(
-                    sched, bounds, ratios, rates, params
-                )
+        return np.asarray(
+            engine.rooted_log_likelihoods(
+                sched, bounds, ratios, rates, params, per_tree=per_tree
             )
-        return np.concatenate(
-            [
-                np.asarray(
-                    engine.rooted_log_likelihoods(
-                        self._tree_schedule(i), bounds[i : i + 1],
-                        ratios[i : i + 1], rates[i : i + 1], rows[i],
-                    )
-                )
-                for i in range(len(rows))
-            ]
-        )
-
-    def _tree_schedule(self, i: int):
-        from ..ops import schedule as schedule_ops
-
-        return schedule_ops.schedules_of_topologies(
-            [self.tree_collection.trees[i].topology]
         )
 
     def phylo_gradients(self):
@@ -118,22 +88,10 @@ class RootedInstance(GenericSBNInstance):
         bounds, ratios, rates = self._time_tree_arrays()
         strict = all(t.rate_count == 1 for t in self.tree_collection.trees)
         params, per_tree = self._compute_params()
-        rows = self._per_tree_param_list(params, per_tree)
-        if rows is None:
-            return engine.rooted_phylo_gradients(
-                sched, bounds, ratios, rates, params, strict_clock=strict,
-            )
-        outs = [
-            engine.rooted_phylo_gradients(
-                self._tree_schedule(i), bounds[i : i + 1], ratios[i : i + 1],
-                rates[i : i + 1], rows[i], strict_clock=strict,
-            )
-            for i in range(len(rows))
-        ]
-        return {
-            k: np.concatenate([np.atleast_1d(np.asarray(o[k])) for o in outs])
-            for k in outs[0]
-        }
+        return engine.rooted_phylo_gradients(
+            sched, bounds, ratios, rates, params, strict_clock=strict,
+            per_tree=per_tree,
+        )
 
     def unconditional_subsplit_probabilities(self):
         """Via a temporary subsplit DAG (rooted_sbn_instance.cpp:19-40).

@@ -7,7 +7,6 @@ from typing import List, Optional
 import numpy as np
 
 from ..core.tree import UnrootedTree, UnrootedTreeCollection
-from ..ops import schedule as schedule_ops
 from ..sbn import gradients as sbn_gradients
 from ..sbn import probability as sbn_probability
 from ..sbn.support import UnrootedSBNSupport
@@ -96,25 +95,10 @@ class UnrootedInstance(GenericSBNInstance):
         sched = self._batched_schedule()
         params, per_tree = self._compute_params()
         bls = self.branch_length_matrix()
-        if not per_tree:
-            return engine.phylo_gradients(sched, bls, params)
-        # Rows differ: evaluate per tree (the reference's per-row
-        # SetParameters semantics); rare path, correctness over speed.
-        import jax
-
-        outs = []
-        for i in range(self.tree_collection.tree_count()):
-            sched_i = schedule_ops.schedules_of_topologies(
-                [self.tree_collection.trees[i].topology]
-            )
-            params_i = jax.tree.map(lambda x: x[i], params)
-            outs.append(
-                engine.phylo_gradients(sched_i, bls[i : i + 1], params_i)
-            )
-        return {
-            k: np.concatenate([np.atleast_1d(np.asarray(o[k])) for o in outs])
-            for k in outs[0]
-        }
+        # per_tree (heterogeneous parameter-matrix rows) stays one vmapped
+        # program — the reference's per-row SetParameters workload is exactly
+        # what FatBeagleParallelize batches (fat_beagle.hpp:119-149).
+        return engine.phylo_gradients(sched, bls, params, per_tree=per_tree)
 
     # -- topology gradients (the VBPI hot path) ------------------------------
     def topology_gradients(self, log_f, use_vimco: bool = True) -> np.ndarray:

@@ -14,7 +14,11 @@ Gradient conventions (PhyloGradient parity, tree_gradient.hpp):
     zeros (root + fixed child, fat_beagle.cpp:498-499).
   * "substitution_model": gradient in stick-breaking-unconstrained space,
     rates block then frequencies block (fat_beagle.cpp:440-466) — computed
-    here by AD, not finite differences.
+    here by AD, not finite differences. Caveat: AD flows through the GTR
+    eigendecomposition, whose derivative is undefined when Q has repeated
+    eigenvalues — notably at the *uniform-rates default* (JC-like Q). Ask
+    for substitution gradients at a generic parameter point (the reference's
+    finite-difference scheme quietly tolerates degeneracy; ours does not).
   * "site_model": d LL / d Weibull shape (exact, via AD of the discretized
     rates).
   * "ratios_root_height": d (LL + log|Jacobian|) / d (height ratios, root
@@ -168,10 +172,15 @@ class LikelihoodEngine:
             self._sched5_b(sched), jnp.asarray(branch_lengths, self.dtype), params
         )
 
-    def branch_gradients(self, sched: BatchedSchedule, branch_lengths, params):
-        """(lls (B,), grads (B, N-1)) — the linear-time two-pass scheme."""
+    def branch_gradients(
+        self, sched: BatchedSchedule, branch_lengths, params, per_tree=False
+    ):
+        """(lls (B,), grads (B, N-1)) — the linear-time two-pass scheme.
+        per_tree=True: params leaves carry a leading tree axis (the
+        reference's per-tree parameter matrix rows, fat_beagle.hpp:144) and
+        the whole batch still runs as one vmapped program."""
         root_id = sched.root_id
-        if self.use_pallas:
+        if self.use_pallas and not per_tree:
             from ..ops import pruning_pallas
 
             def build_pallas():
@@ -226,19 +235,31 @@ class LikelihoodEngine:
                     self.weights, self.rescale,
                 )
 
-            return jax.jit(jax.vmap(one, in_axes=((0, 0, 0, 0, 0), 0, None)))
+            return jax.jit(
+                jax.vmap(
+                    one, in_axes=((0, 0, 0, 0, 0), 0, 0 if per_tree else None)
+                )
+            )
 
-        fn = self._cached(("bgrad", root_id), build)
+        fn = self._cached(("bgrad", root_id, per_tree), build)
         return fn(
             self._sched5_b(sched), jnp.asarray(branch_lengths, self.dtype), params
         )
 
-    def phylo_gradients(self, sched: BatchedSchedule, branch_lengths, params):
+    def phylo_gradients(
+        self, sched: BatchedSchedule, branch_lengths, params, per_tree=False
+    ):
         """Gradient dict in reference conventions (unrooted trees)."""
-        lls, bgrads = self.branch_gradients(sched, branch_lengths, params)
+        lls, bgrads = self.branch_gradients(
+            sched, branch_lengths, params, per_tree=per_tree
+        )
         out = {"log_likelihood": lls, "branch_lengths": bgrads}
         extra = self._model_param_gradients(
-            lambda p: self._batched_ll_sum(sched, branch_lengths, p), params
+            lambda p: self.log_likelihoods(
+                sched, branch_lengths, p, per_tree=per_tree
+            ),
+            params,
+            per_tree=per_tree,
         )
         out.update(extra)
         return out
@@ -298,31 +319,38 @@ class LikelihoodEngine:
         )
         return out
 
-    def _batched_ll_sum(self, sched, branch_lengths, params):
-        # Sum over the batch: per-tree model-parameter gradients come from
-        # vmapped per-tree calls instead when needed; the reference computes
-        # per-tree gradients, so we vmap.
-        return self.log_likelihoods(sched, branch_lengths, params)
+    def _model_param_gradients(self, ll_fn, params, per_tree=False):
+        """Per-tree substitution/site gradients by AD (stick space for GTR).
 
-    def _model_param_gradients(self, ll_fn, params):
-        """Per-tree substitution/site gradients by AD (stick space for GTR)."""
+        Shared params: jacrev of the (B,) LL vector, rows are per-tree
+        gradients w.r.t. the shared parameters. per_tree: trees decouple, so
+        grad of the summed LL w.r.t. the stacked (B, ...) parameters IS the
+        matrix of per-tree-own-row gradients — still one batched program."""
         out = {}
+        row_grad = lambda f, x: (  # noqa: E731
+            jax.grad(lambda x_: jnp.sum(f(x_)))(x) if per_tree else jax.jacrev(f)(x)
+        )
         if self.spec.substitution == "GTR":
             p = params["substitution"]
-            y_rates = transforms.stick_breaking_inverse(p["rates"])
-            y_freqs = transforms.stick_breaking_inverse(p["frequencies"])
+            inverse = transforms.stick_breaking_inverse
+            forward = transforms.stick_breaking
+            if per_tree:
+                inverse, forward = jax.vmap(inverse), jax.vmap(forward)
+            y_rates = inverse(p["rates"])
+            y_freqs = inverse(p["frequencies"])
 
             def f(y):
-                yr, yf = y[:5], y[5:]
+                yr, yf = y[..., :5], y[..., 5:]
                 new = dict(params)
                 new["substitution"] = {
-                    "rates": transforms.stick_breaking(yr),
-                    "frequencies": transforms.stick_breaking(yf),
+                    "rates": forward(yr),
+                    "frequencies": forward(yf),
                 }
                 return ll_fn(new)
 
-            jacobian = jax.jacrev(f)(jnp.concatenate([y_rates, y_freqs]))
-            out["substitution_model"] = jacobian
+            out["substitution_model"] = row_grad(
+                f, jnp.concatenate([y_rates, y_freqs], axis=-1)
+            )
         if self.spec.site.startswith("weibull"):
 
             def g(shape):
@@ -330,7 +358,7 @@ class LikelihoodEngine:
                 new["site"] = {"shape": shape}
                 return ll_fn(new)
 
-            out["site_model"] = jax.jacrev(g)(params["site"]["shape"])
+            out["site_model"] = row_grad(g, params["site"]["shape"])
         return out
 
     # -- rooted time-tree likelihoods --------------------------------------
@@ -367,15 +395,17 @@ class LikelihoodEngine:
 
     def rooted_log_likelihoods(
         self, sched: BatchedSchedule, bounds, ratios, rates, params,
-        return_parts: bool = False,
+        return_parts: bool = False, per_tree: bool = False,
     ):
         """LL + log-det-Jacobian for rooted time trees (fat_beagle.cpp:96-104).
 
         bounds: (B, N) node bounds; ratios: (B, L-1) height ratios with root
-        height last; rates: (B, N-1) per-branch clock rates."""
+        height last; rates: (B, N-1) per-branch clock rates. per_tree=True:
+        params leaves carry a leading tree axis (heterogeneous parameter
+        matrix rows) — one vmapped program, not a per-tree loop."""
         leaf_count = sched.leaf_count
         root_id = sched.root_id
-        if self.use_pallas:
+        if self.use_pallas and not per_tree:
             fn = self._rooted_core(sched)
             lls, ldjs = fn(
                 jnp.asarray(sched.post_children),
@@ -402,10 +432,16 @@ class LikelihoodEngine:
                 return ll, ldj
 
             return jax.jit(
-                jax.vmap(one, in_axes=((0, 0, 0, 0, 0), 0, 0, 0, 0, 0, 0, None))
+                jax.vmap(
+                    one,
+                    in_axes=(
+                        (0, 0, 0, 0, 0), 0, 0, 0, 0, 0, 0,
+                        0 if per_tree else None,
+                    ),
+                )
             )
 
-        fn = self._cached(("rooted_ll", root_id), build)
+        fn = self._cached(("rooted_ll", root_id, per_tree), build)
         lls, ldjs = fn(
             self._sched5_b(sched),
             jnp.asarray(sched.pre_internal_node),
@@ -422,12 +458,12 @@ class LikelihoodEngine:
 
     def rooted_phylo_gradients(
         self, sched: BatchedSchedule, bounds, ratios, rates, params,
-        strict_clock: bool = True,
+        strict_clock: bool = True, per_tree: bool = False,
     ):
         """Gradient dict for rooted time trees, all via AD."""
         leaf_count = sched.leaf_count
         root_id = sched.root_id
-        if self.use_pallas:
+        if self.use_pallas and not per_tree:
             return self._rooted_phylo_gradients_pallas(
                 sched, bounds, ratios, rates, params, strict_clock
             )
@@ -456,10 +492,16 @@ class LikelihoodEngine:
                 return obj, ll, dratios, drates
 
             return jax.jit(
-                jax.vmap(one, in_axes=((0, 0, 0, 0, 0), 0, 0, 0, 0, 0, 0, None))
+                jax.vmap(
+                    one,
+                    in_axes=(
+                        (0, 0, 0, 0, 0), 0, 0, 0, 0, 0, 0,
+                        0 if per_tree else None,
+                    ),
+                )
             )
 
-        fn = self._cached(("rooted_grad", root_id), build)
+        fn = self._cached(("rooted_grad", root_id, per_tree), build)
         obj, lls, dratios, drates = fn(
             self._sched5_b(sched),
             jnp.asarray(sched.pre_internal_node),
@@ -482,9 +524,10 @@ class LikelihoodEngine:
         }
         extra = self._model_param_gradients(
             lambda p: self.rooted_log_likelihoods(
-                sched, bounds, ratios, rates, p
+                sched, bounds, ratios, rates, p, per_tree=per_tree
             ),
             params,
+            per_tree=per_tree,
         )
         out.update(extra)
         return out

@@ -95,6 +95,82 @@ def test_param_matrix_per_tree_gradients():
     )
 
 
+def test_param_matrix_per_tree_gradients_match_loop():
+    """The single vmapped per-tree-parameter gradient program equals an
+    explicit loop that sets each row as shared params (the reference's
+    per-row SetParameters semantics, fat_beagle.hpp:144) — every gradient
+    key, every tree."""
+    inst = make_gtr_instance()
+    blocks = inst.get_phylo_model_param_block_map()
+    B = inst.tree_collection.tree_count()
+    rng = np.random.default_rng(7)
+    blocks["frequencies"][:] = rng.dirichlet(np.full(4, 20.0), size=B)
+    # Distinct exchangeability rates per row: at the uniform default the GTR
+    # Q has degenerate eigenvalues and d(eigh) is undefined (engine.py note).
+    blocks["GTR rates"][:] = rng.dirichlet(np.full(6, 20.0), size=B)
+    entire = inst.get_phylo_model_params().copy()
+    batched = inst.phylo_gradients()
+
+    for i in range(B):
+        inst.set_phylo_model_params_from_flat(entire[i])
+        shared = inst.phylo_gradients()
+        for key in ("log_likelihood", "branch_lengths", "substitution_model"):
+            np.testing.assert_allclose(
+                np.atleast_1d(np.asarray(batched[key]))[i],
+                np.atleast_1d(np.asarray(shared[key]))[i],
+                atol=1e-8,
+                err_msg=f"tree {i}, key {key}",
+            )
+
+
+def test_rooted_per_tree_param_gradients(data_dir):
+    """Rooted time-tree gradients with heterogeneous parameter rows run as
+    one batched program and match the shared path row-by-row."""
+    from libsbn_tpu import RootedInstance
+
+    inst = RootedInstance("rooted per-tree")
+    inst.read_newick_file(f"{DATA}/fluA.tree")
+    inst.read_fasta_file(f"{DATA}/fluA.fa")
+    inst.parse_dates_from_taxon_names(True)
+    inst.process_loaded_trees()
+    inst.prepare_for_phylo_likelihood(
+        PhyloModelSpec("GTR", "constant", "strict")
+    )
+    inst.set_clock_rates(0.001)
+    # Duplicate the single fluA tree so the collection has 2 trees.
+    from libsbn_tpu.core.tree import RootedTreeCollection
+
+    t = inst.tree_collection.trees[0]
+    inst.tree_collection = RootedTreeCollection(
+        [t, t], inst.tree_collection.tag_taxon_map,
+        inst.tree_collection.tag_date_map,
+    )
+    inst.resize_phylo_model_params(2)
+    blocks = inst.get_phylo_model_param_block_map()
+    blocks["frequencies"][0] = np.array([0.3, 0.25, 0.2, 0.25])
+    blocks["frequencies"][1] = np.array([0.2, 0.3, 0.25, 0.25])
+    rng = np.random.default_rng(11)
+    blocks["GTR rates"][:] = rng.dirichlet(np.full(6, 20.0), size=2)
+    entire = inst.get_phylo_model_params().copy()
+    batched = inst.phylo_gradients()
+    lls_batched = inst.log_likelihoods()
+
+    for i in range(2):
+        inst.set_phylo_model_params_from_flat(entire[i])
+        shared = inst.phylo_gradients()
+        for key in ("log_likelihood", "ratios_root_height", "clock_model",
+                    "substitution_model"):
+            np.testing.assert_allclose(
+                np.atleast_1d(np.asarray(batched[key]))[i],
+                np.atleast_1d(np.asarray(shared[key]))[i],
+                atol=1e-6,
+                err_msg=f"tree {i}, key {key}",
+            )
+        np.testing.assert_allclose(
+            lls_batched[i], np.asarray(inst.log_likelihoods())[i], atol=1e-8
+        )
+
+
 def test_resize_preserves_prefix():
     inst = make_gtr_instance()
     blocks = inst.get_phylo_model_param_block_map()

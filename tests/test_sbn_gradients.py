@@ -101,8 +101,10 @@ def test_topology_gradients_naive_and_vimco(gradient_inst):
 
 
 def test_sampling_frequencies(data_dir):
-    """Sampled rooted-topology frequencies match SA training frequencies
-    (unrooted_sbn_instance.hpp:359-397; reduced sample count)."""
+    """Sampled rooted-topology frequencies match SA training frequencies at
+    reference scale: 1e6 samples, tol 5e-3 (unrooted_sbn_instance.hpp:359-397).
+    The native bulk sampler makes this cheap; samples dedupe to the handful
+    of distinct five-taxon topologies before representation lookup."""
     inst = UnrootedInstance("charlie")
     inst.read_newick_file(f"{data_dir}/five_taxon_unrooted.nwk")
     inst.process_loaded_trees()
@@ -119,21 +121,30 @@ def test_sampling_frequencies(data_dir):
             counter_from_file[key] = counter_from_file.get(key, 0) + 1
             total_from_file += 1
 
-    n_samples = 100_000
-    inst.set_seed(0)
-    sampler = inst._get_sampler()
-    counter_from_sampling = {}
-    from libsbn_tpu.sbn import maps
+    from libsbn_tpu.sbn import maps, sampling
 
-    for _ in range(n_samples):
-        top = sampler.sample_topology(rooted=True)
+    n_samples = 1_000_000
+    sampler = sampling.NativeSBNSampler(
+        inst.sbn_support, inst.sbn_parameters, seed=0
+    )
+    pvs = sampler.sample_parent_vectors(n_samples, rooted=True)
+    if pvs is None:
+        pytest.skip("native sampler unavailable")
+    assert pvs.shape == (n_samples, 8)  # 9 rooted nodes for 5 taxa
+    unique, counts = np.unique(pvs, axis=0, return_counts=True)
+    counter_from_sampling = {}
+    for pv, count in zip(unique, counts):
+        top = Topology.of_parent_id_vector(list(pv))
         rep = maps.rooted_indexer_representation_of(
             inst.sbn_support.indexer, top, inst.sbn_support.gpcsp_count
         )
         key = standardized(rep)
-        counter_from_sampling[key] = counter_from_sampling.get(key, 0) + 1
+        counter_from_sampling[key] = counter_from_sampling.get(key, 0) + int(count)
 
+    assert sum(counter_from_sampling.values()) == n_samples
     for key, count in counter_from_file.items():
         observed = counter_from_sampling.get(key, 0) / n_samples
         expected = count / total_from_file
-        assert abs(observed - expected) < 1.5e-2, (key, observed, expected)
+        assert abs(observed - expected) < 5e-3, (key, observed, expected)
+    # Nothing outside the support was sampled.
+    assert set(counter_from_sampling) <= set(counter_from_file)

@@ -9,11 +9,12 @@ PLV tensors (N, 4, patterns):
   * rootward pass: phat accumulation q(s|t)·P(b)·p(t) per level, p = phat∘phat~;
   * leafward pass: rhat accumulation, r = rhat∘phat~, r~ = rhat∘phat;
   * likelihood rows for ALL edges in one batched contraction;
-  * branch optimization: a fixed-iteration vectorized golden-section search
-    over every edge simultaneously (Jacobi sweeps) instead of the
-    reference's sequential per-edge Brent inside a tidy traversal — the
-    instance loop iterates sweeps to convergence, and parity is gated on
-    the resulting marginal likelihood, not the optimization path.
+  * branch optimization: a vectorized safeguarded Newton–bisection on the
+    analytic derivative over every edge simultaneously (Jacobi sweeps,
+    convergence-terminated per edge) instead of the reference's sequential
+    per-edge Brent inside a tidy traversal — the instance loop iterates
+    sweeps to convergence, and parity is gated on the resulting marginal
+    likelihood, not the optimization path.
 
 Numerics: float64 with one scalar log-scale per (PLV kind, node) — the
 continuous analog of the reference's integer rescaling counts
@@ -36,7 +37,7 @@ from ..ops import substitution
 
 MIN_LOG_BL = -13.9
 MAX_LOG_BL = 1.1
-GOLDEN_ITERS = 70
+GOLDEN_ITERS = 70  # used only by the opt-in Pallas sweep kernel
 DEFAULT_BRANCH_LENGTH = 0.1
 
 
@@ -524,14 +525,23 @@ class GPEngine:
 
     # -- branch optimization -------------------------------------------------
     def _optimize_impl(self, plvs, bl):
-        """One vectorized golden-section sweep over all edges.
+        """One vectorized derivative-driven sweep over all edges.
 
-        For JC69, r·P(b)·p collapses to A + e^(-4b/3)·B with per-edge
+        For JC69, r·P(b)·p collapses to A + u·B with u = e^(-4b/3), per-edge
         A = ¼(Σᵢrᵢ)(Σⱼpⱼ) and B = Σᵢrᵢpᵢ − A, so the PLV gathers and the
-        (E,4,4) contractions hoist OUT of the golden-section loop: each of
-        the 2·GOLDEN_ITERS objective evaluations is one scalar exp per edge
-        plus a fused multiply-add over patterns (was 115 ms/sweep on fluA
-        re-gathering PLVs per eval; now ~3 ms)."""
+        (E,4,4) contractions hoist out of the solver loop entirely.
+
+        The per-edge objective f(u) = Σₛ wₛ log(Aₛ + u·Bₛ) is CONCAVE in u
+        (sum of logs of affine functions), so its derivative
+        φ(u) = Σ w·B/(A+uB) is monotone decreasing and the maximizer is
+        either a boundary or the unique root of φ. The sweep solves φ = 0
+        with a safeguarded Newton–bisection (bracket maintained by the sign
+        of φ; Newton step rejected outside it), terminated by a masked
+        convergence test — the analytic-derivative, tolerance-terminated
+        analog of the reference's Brent (gp_engine.cpp:244-266, 326-361;
+        optimization.hpp:10-115), replacing the earlier fixed-70-iteration
+        golden section (which left f32 visibly short of the f64 optimum).
+        Reject-if-worse per edge is kept, as in BrentOptimization."""
         pa = jnp.asarray(self.e_parent)
         ch = jnp.asarray(self.e_child)
         rot = jnp.asarray(self.e_rot)
@@ -542,41 +552,70 @@ class GPEngine:
         A = 0.25 * jnp.sum(r_plv, axis=1) * jnp.sum(p_plv, axis=1)
         Bc = D - A
         w = jnp.asarray(self.weights, bl.dtype)
+        c_jc = jnp.asarray(4.0 / 3.0, bl.dtype)
 
-        def obj(log_bl):  # (E,) -> (E,)
-            e = jnp.exp(-4.0 / 3.0 * jnp.exp(log_bl))
-            lik = A + e[:, None] * Bc
+        def obj(u):  # (E,) -> (E,) negative log likelihood
+            lik = A + u[:, None] * Bc
             return -jnp.sum(jnp.log(lik) * w[None, :], axis=-1)
 
-        current_log = jnp.log(bl[g])
-        current_obj = obj(current_log)
+        def phi_and_dphi(u):  # df/du and d²f/du² per edge
+            denom = A + u[:, None] * Bc
+            ratio = jnp.where(denom > 0, Bc / denom, 0.0)
+            phi = jnp.sum(w[None, :] * ratio, axis=-1)
+            dphi = -jnp.sum(w[None, :] * ratio * ratio, axis=-1)
+            return phi, dphi
 
-        invphi = (jnp.sqrt(5.0) - 1.0) / 2.0
-        a = jnp.full_like(current_log, MIN_LOG_BL)
-        b = jnp.full_like(current_log, MAX_LOG_BL)
-        c = b - invphi * (b - a)
-        d = a + invphi * (b - a)
-        fc = obj(c)
-        fd = obj(d)
+        u_of = lambda log_bl: jnp.exp(-c_jc * jnp.exp(log_bl))  # noqa: E731
+        ulo = u_of(jnp.asarray(MAX_LOG_BL, bl.dtype))
+        uhi = u_of(jnp.asarray(MIN_LOG_BL, bl.dtype))
+        phi_lo, _ = phi_and_dphi(jnp.full_like(g, ulo, dtype=bl.dtype))
+        phi_hi, _ = phi_and_dphi(jnp.full_like(g, uhi, dtype=bl.dtype))
+        at_max = phi_lo <= 0  # f decreasing everywhere: b at MAX_LOG_BL
+        at_min = phi_hi >= 0  # f increasing everywhere: b at MIN_LOG_BL
+        interior = ~(at_max | at_min)
 
-        def body(_, state):
-            a, b, c, d, fc, fd = state
-            take_left = fc < fd
-            new_b = jnp.where(take_left, d, b)
-            new_a = jnp.where(take_left, a, c)
-            new_c = new_b - invphi * (new_b - new_a)
-            new_d = new_a + invphi * (new_b - new_a)
-            new_fc = obj(new_c)
-            new_fd = obj(new_d)
-            return new_a, new_b, new_c, new_d, new_fc, new_fd
-
-        a, b, c, d, fc, fd = jax.lax.fori_loop(
-            0, GOLDEN_ITERS, body, (a, b, c, d, fc, fd)
+        tol_u = jnp.asarray(
+            1e-12 if bl.dtype == jnp.float64 else 1e-7, bl.dtype
         )
-        best_log = jnp.where(fc < fd, c, d)
-        best_obj = jnp.minimum(fc, fd)
+        u0 = jnp.clip(u_of(jnp.log(bl[g])), ulo, uhi)
+
+        def cond(state):
+            _, _, _, active, it = state
+            return jnp.any(active) & (it < 64)
+
+        def body(state):
+            u, lo, hi, active, it = state
+            phi, dphi = phi_and_dphi(u)
+            lo = jnp.where(phi > 0, u, lo)  # root is above u where φ>0
+            hi = jnp.where(phi < 0, u, hi)
+            step = jnp.where(dphi < 0, phi / dphi, 0.0)
+            u_newton = u - step
+            inside = (u_newton > lo) & (u_newton < hi)
+            u_next = jnp.where(inside, u_newton, 0.5 * (lo + hi))
+            moved = jnp.abs(u_next - u)
+            still = active & (moved > tol_u * jnp.maximum(u, tol_u))
+            u = jnp.where(active, u_next, u)
+            return u, lo, hi, still, it + 1
+
+        u_root, _, _, _, iters = jax.lax.while_loop(
+            cond,
+            body,
+            (
+                u0,
+                jnp.full_like(u0, ulo),
+                jnp.full_like(u0, uhi),
+                interior,
+                jnp.asarray(0, jnp.int32),
+            ),
+        )
+        u_best = jnp.where(at_max, ulo, jnp.where(at_min, uhi, u_root))
+        best_log = jnp.clip(
+            jnp.log(-jnp.log(u_best) / c_jc), MIN_LOG_BL, MAX_LOG_BL
+        )
+        current_log = jnp.log(bl[g])
         # Reject-if-worse, as in gp_engine.cpp BrentOptimization.
-        new_log = jnp.where(best_obj < current_obj, best_log, current_log)
+        keep = obj(u_of(best_log)) < obj(u_of(current_log))
+        new_log = jnp.where(keep, best_log, current_log)
         return bl.at[g].set(jnp.exp(new_log))
 
     def optimize_branch_lengths_sweep(self):

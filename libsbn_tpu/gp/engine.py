@@ -60,6 +60,7 @@ class GPEngine:
         dtype=np.float64,
         use_pallas="auto",
         pallas_interpret=False,
+        mesh=None,
     ):
         self.dag = dag
         self.dtype = dtype
@@ -81,6 +82,36 @@ class GPEngine:
         self.site_pattern = site_pattern
         self.weights = np.asarray(site_pattern.weights)
         self.tips = np.asarray(site_pattern.tip_partials())  # (L, 4, S)
+        self.mesh = mesh
+        if mesh is not None and "sp" in mesh.axis_names:
+            # Multi-device GP: shard the pattern axis of tips (and, by XLA
+            # sharding propagation, of every PLV tensor) over the "sp" mesh
+            # axis. Pad patterns to a shardable multiple with zero-weight
+            # all-ones columns — numerically inert (inert padding protocol
+            # of ops/schedule.py; every pattern reduction is weighted by w).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sp_size = mesh.shape["sp"]
+            S = self.tips.shape[-1]
+            target = -(-S // sp_size) * sp_size
+            if target != S:
+                self.tips = np.concatenate(
+                    [
+                        self.tips,
+                        np.ones(
+                            (*self.tips.shape[:-1], target - S),
+                            self.tips.dtype,
+                        ),
+                    ],
+                    axis=-1,
+                )
+                self.weights = np.concatenate(
+                    [self.weights, np.zeros(target - S, self.weights.dtype)]
+                )
+            self.tips = jax.device_put(
+                jnp.asarray(self.tips, dtype),
+                NamedSharding(mesh, P(None, None, "sp")),
+            )
         self.patterns = self.tips.shape[-1]
         self.q = np.asarray(sbn_prior, dtype=np.float64).copy()
         self.unconditional_node_probabilities = np.asarray(

@@ -51,9 +51,15 @@ class GPInstance:
         )
 
     # -- engine -------------------------------------------------------------
-    def make_engine(self, rescaling_threshold: float = 1e-40, dtype=None):
+    def make_engine(
+        self, rescaling_threshold: float = 1e-40, dtype=None, mesh=None
+    ):
         """dtype=np.float32 trades the f64 parity precision for TPU-friendly
-        compile and runtime (f64 is software-emulated on TPU)."""
+        compile and runtime (f64 is software-emulated on TPU). mesh: a
+        jax.sharding.Mesh with an "sp" axis shards the site-pattern axis of
+        every PLV across devices (the GP multi-device path; all pattern
+        reductions are weighted sums/logsumexps that XLA lowers to psums
+        over ICI)."""
         import numpy as np
 
         if self.alignment is None or self.tree_collection is None:
@@ -67,7 +73,7 @@ class GPInstance:
         inverted = self.dag.inverted_gpcsp_probabilities(sbn_prior, node_probs)
         self.engine = GPEngine(
             site_pattern, self.dag, sbn_prior, node_probs, inverted,
-            rescaling_threshold, dtype=dtype or np.float64,
+            rescaling_threshold, dtype=dtype or np.float64, mesh=mesh,
         )
 
     def get_engine(self) -> GPEngine:

@@ -337,3 +337,26 @@ def test_newton_ascent_f32_matches_f64_flua():
     # Converged value (pinned loosely; monotone ascent can only improve it).
     assert marginals[np.float64] < -4337.0
     assert marginals[np.float64] > -4339.0
+
+
+def test_gp_sp_sharded_matches_unsharded():
+    """GP with the PLV pattern axis sharded over an 8-device "sp" mesh axis
+    reproduces the single-device fit (same Newton ascent, XLA inserts the
+    pattern-axis psums). This is the GP multi-device path — the scaled-out
+    replacement for the reference's mmapped single-host arena
+    (mmapped_plv.hpp:19-47)."""
+    from libsbn_tpu.parallel.sharding import make_mesh
+
+    def fit(mesh):
+        inst = GPInstance()
+        inst.read_fasta_file(f"{DATA}/five_taxon.fasta")
+        inst.read_newick_file(f"{DATA}/five_taxon_rooted.nwk")
+        inst.make_engine(mesh=mesh)
+        m, iters = inst.get_engine().run_branch_ascent(1e-8, 50)
+        return m, np.asarray(inst.get_engine().branch_lengths)
+
+    m0, bl0 = fit(None)
+    mesh = make_mesh(8, dp=1, sp=8)
+    m1, bl1 = fit(mesh)
+    assert abs(m0 - m1) < 1e-9, (m0, m1)
+    np.testing.assert_allclose(bl0, bl1, rtol=1e-9, atol=1e-12)

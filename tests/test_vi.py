@@ -300,3 +300,46 @@ def test_jit_vbpi_psp_matches_reference_gradient(data_dir):
     v = JitVBPI(inst, particle_count=5, seed=0, branch_model="psp")
     lls = [float(v.step()["mean_ll"]) for _ in range(60)]
     assert np.mean(lls[-10:]) > np.mean(lls[:10])
+
+
+def test_step_many_matches_step_trajectory(data_dir):
+    """step_many(K) samples the K-step window's topologies from SBN params
+    frozen at dispatch (up to K-1 updates stale); the MC gradient must
+    tolerate that. Gate: on DS1 (deterministic CPU f64, fixed seeds), the
+    tail-mean ELBO gap between K=16 windows and K=1 live stepping is an
+    order of magnitude INSIDE the K=1 between-seed MC spread (measured:
+    gap 11.3 vs spread 125 at 160 steps; docs/performance.md 'step_many
+    staleness')."""
+    from libsbn_tpu import UnrootedInstance
+    from libsbn_tpu.vi.jit_step import JitVBPI
+
+    def make(seed):
+        inst = UnrootedInstance("ds1")
+        inst.read_nexus_file(f"{data_dir}/DS1.subsampled_10.t")
+        inst.process_loaded_trees()
+        inst.train_simple_average()
+        inst.read_fasta_file(f"{data_dir}/DS1.fasta")
+        inst.prepare_for_phylo_likelihood(
+            PhyloModelSpec("JC69", "constant", "strict")
+        )
+        return JitVBPI(inst, particle_count=10, seed=seed)
+
+    n_steps = 160
+    tails = {}
+    for mode in ("k1", "k16"):
+        vals = []
+        for seed in (0, 1):
+            jv = make(seed)
+            elbos = []
+            if mode == "k1":
+                for _ in range(n_steps):
+                    elbos.append(float(jv.step(beta=1.0)["elbo_like"]))
+            else:
+                for _ in range(n_steps // 16):
+                    m = jv.step_many(16, beta=1.0)
+                    elbos.extend(np.asarray(m["elbo_like"]).ravel().tolist())
+            vals.append(float(np.mean(elbos[-n_steps // 5:])))
+        tails[mode] = vals
+    gap = abs(np.mean(tails["k1"]) - np.mean(tails["k16"]))
+    seed_spread = abs(tails["k1"][0] - tails["k1"][1])
+    assert gap < max(seed_spread, 30.0), (tails, gap, seed_spread)

@@ -202,7 +202,7 @@ def main():
         check_parity(ge, engine, sched, np.asarray(ge._load_ds1()[1]), sp)
         parity = "pass"
     except AssertionError as exc:
-        parity = "fail: " + str(exc).splitlines()[0][:120]
+        parity = "fail: " + " ".join(str(exc).split())[:160]
     except Exception as exc:  # noqa: BLE001
         parity = f"error: {type(exc).__name__}: {exc}"[:140]
     if "--parity" in sys.argv:

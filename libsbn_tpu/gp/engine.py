@@ -188,10 +188,12 @@ class GPEngine:
         )
 
     def _populate_impl(self, bl, q):
+        return self._populate_core(bl, q, jnp.asarray(self.tips, bl.dtype))
+
+    def _populate_core(self, bl, q, tips):
         N = self.dag.node_count()
         L = self.dag.taxon_count
-        S = self.patterns
-        tips = jnp.asarray(self.tips, bl.dtype)
+        S = tips.shape[-1]
         # One trash row (index N) absorbs padded-edge scatters; one sentinel
         # q/bl slot (index E) zeroes padded-edge contributions.
         q_ext = jnp.concatenate([q, jnp.zeros((1,), q.dtype)])
@@ -538,6 +540,232 @@ class GPEngine:
              jnp.asarray(False)),
         )
         return bl, plvs, cur, i
+
+    # -- streamed (beyond-HBM) coordinate ascent -------------------------------
+    def run_branch_ascent_streamed(
+        self, tol: float, max_iter: int, pattern_chunk: int,
+        memmap_dir: str | None = None, finalize: bool = True,
+    ):
+        """EstimateBranchLengths with PLVs that never fully materialize on
+        device: the pattern axis streams through in chunks of
+        ``pattern_chunk``, so device memory is O(nodes x chunk) instead of
+        O(nodes x patterns). This is the capacity role of the reference's
+        disk-mmapped PLV arena (mmapped_plv.hpp:19-47, gp_instance.cpp:32),
+        lifted to TPU: HBM holds one chunk's PLVs; the per-edge Newton
+        statistics (A, B) live in host RAM — or in disk-backed np.memmap
+        files when memmap_dir is given, matching the reference's
+        beyond-RAM capacity exactly.
+
+        Exactness: populate is independent per pattern (per-node log-scales
+        make renormalization chunk-invariant), the Newton derivative
+        phi = sum_s w B/(A+uB) is scale-invariant per pattern, and
+        reject-if-worse compares chunk-accumulated objectives whose
+        per-chunk scale constants cancel. Streamed fits therefore match
+        the fused in-memory ascent to float tolerance (tests/test_gp.py).
+        Returns (marginal, sweeps)."""
+        import tempfile
+
+        dt = self.dtype
+        S = self.patterns
+        C = -(-S // pattern_chunk)
+        Sp = C * pattern_chunk
+        tips = np.asarray(self.tips, dt)
+        w = np.asarray(self.weights, dt)
+        if Sp != S:
+            tips = np.concatenate(
+                [tips, np.ones((*tips.shape[:-1], Sp - S), dt)], axis=-1
+            )
+            w = np.concatenate([w, np.zeros(Sp - S, dt)])
+        tips_c = np.moveaxis(
+            tips.reshape(*tips.shape[:-1], C, pattern_chunk), -2, 0
+        )  # (C, L, 4, chunk)
+        w_c = w.reshape(C, pattern_chunk)
+        E = len(self.e_gpcsp)
+
+        if memmap_dir is not None:
+            tmp = tempfile.NamedTemporaryFile(
+                dir=memmap_dir, suffix=".gp_ab", delete=False
+            )
+            AB = np.memmap(tmp.name, dtype=dt, mode="w+", shape=(2, E, Sp))
+        else:
+            AB = np.empty((2, E, Sp), dt)
+
+        @jax.jit
+        def chunk_stats(bl, q, tips_chunk, w_chunk):
+            plvs = self._populate_core(bl, q, tips_chunk)
+            pa = jnp.asarray(self.e_parent)
+            ch = jnp.asarray(self.e_child)
+            rot = jnp.asarray(self.e_rot)
+            r_plv = jnp.where(
+                rot[:, None, None], plvs["rtilde"][pa], plvs["r"][pa]
+            )
+            p_plv = plvs["p"][ch]
+            D = jnp.einsum("eis,eis->es", r_plv, p_plv)
+            A = 0.25 * jnp.sum(r_plv, axis=1) * jnp.sum(p_plv, axis=1)
+            ri = jnp.asarray(self.root_ids)
+            rg = jnp.asarray(self.root_gpcsps)
+            root_rows = (
+                jnp.log(0.25 * q[rg][:, None] * jnp.sum(plvs["p"][ri], axis=1))
+                + plvs["ls_p"][ri][:, None]
+            )
+            per_site = jax.scipy.special.logsumexp(root_rows, axis=0)
+            return A, D - A, jnp.sum(per_site * w_chunk)
+
+        @jax.jit
+        def chunk_marginal(bl, q, tips_chunk, w_chunk):
+            plvs = self._populate_core(bl, q, tips_chunk)
+            ri = jnp.asarray(self.root_ids)
+            rg = jnp.asarray(self.root_gpcsps)
+            root_rows = (
+                jnp.log(0.25 * q[rg][:, None] * jnp.sum(plvs["p"][ri], axis=1))
+                + plvs["ls_p"][ri][:, None]
+            )
+            per_site = jax.scipy.special.logsumexp(root_rows, axis=0)
+            return jnp.sum(per_site * w_chunk)
+
+        @jax.jit
+        def chunk_phi(u, A, B, w_chunk):
+            denom = A + u[:, None] * B
+            ratio = jnp.where(denom > 0, B / denom, 0.0)
+            phi = jnp.sum(w_chunk[None, :] * ratio, axis=-1)
+            dphi = -jnp.sum(w_chunk[None, :] * ratio * ratio, axis=-1)
+            return phi, dphi
+
+        @jax.jit
+        def chunk_obj(u, A, B, w_chunk):
+            lik = A + u[:, None] * B
+            return -jnp.sum(
+                jnp.where(w_chunk[None, :] > 0, jnp.log(lik), 0.0)
+                * w_chunk[None, :],
+                axis=-1,
+            )
+
+        q = jnp.asarray(self.q, dt)
+
+        def marginal_of(bl_np):
+            blj = jnp.asarray(bl_np, dt)
+            return float(
+                sum(
+                    float(chunk_marginal(blj, q, jnp.asarray(tips_c[c]),
+                                         jnp.asarray(w_c[c])))
+                    for c in range(C)
+                )
+            )
+
+        def refresh_ab(bl_np):
+            blj = jnp.asarray(bl_np, dt)
+            total = 0.0
+            for c in range(C):
+                A, B, m = chunk_stats(
+                    blj, q, jnp.asarray(tips_c[c]), jnp.asarray(w_c[c])
+                )
+                sl = slice(c * pattern_chunk, (c + 1) * pattern_chunk)
+                AB[0, :, sl] = np.asarray(A)
+                AB[1, :, sl] = np.asarray(B)
+                total += float(m)
+            return total
+
+        def acc_phi(u):
+            phi = np.zeros(E, dt)
+            dphi = np.zeros(E, dt)
+            uj = jnp.asarray(u, dt)
+            for c in range(C):
+                sl = slice(c * pattern_chunk, (c + 1) * pattern_chunk)
+                p_, d_ = chunk_phi(
+                    uj, jnp.asarray(AB[0, :, sl]), jnp.asarray(AB[1, :, sl]),
+                    jnp.asarray(w_c[c]),
+                )
+                phi += np.asarray(p_)
+                dphi += np.asarray(d_)
+            return phi, dphi
+
+        def acc_obj(u):
+            obj = np.zeros(E, dt)
+            uj = jnp.asarray(u, dt)
+            for c in range(C):
+                sl = slice(c * pattern_chunk, (c + 1) * pattern_chunk)
+                obj += np.asarray(
+                    chunk_obj(
+                        uj, jnp.asarray(AB[0, :, sl]),
+                        jnp.asarray(AB[1, :, sl]), jnp.asarray(w_c[c]),
+                    )
+                )
+            return obj
+
+        c_jc = 4.0 / 3.0
+        u_of = lambda log_bl: np.exp(-c_jc * np.exp(log_bl))  # noqa: E731
+        ulo = u_of(MAX_LOG_BL)
+        uhi = u_of(MIN_LOG_BL)
+        tol_u = 1e-12 if dt == np.float64 else 1e-7
+
+        def newton_sweep(bl_np):
+            g = np.asarray(self.e_gpcsp)
+            phi_lo, _ = acc_phi(np.full(E, ulo))
+            phi_hi, _ = acc_phi(np.full(E, uhi))
+            at_max = phi_lo <= 0
+            at_min = phi_hi >= 0
+            u = np.clip(u_of(np.log(bl_np[g])), ulo, uhi)
+            lo = np.full(E, ulo)
+            hi = np.full(E, uhi)
+            active = ~(at_max | at_min)
+            for _ in range(64):
+                if not active.any():
+                    break
+                phi, dphi = acc_phi(u)
+                lo = np.where(phi > 0, u, lo)
+                hi = np.where(phi < 0, u, hi)
+                step = np.where(dphi < 0, phi / np.where(dphi < 0, dphi, 1), 0)
+                u_newton = u - step
+                inside = (u_newton > lo) & (u_newton < hi)
+                u_next = np.where(inside, u_newton, 0.5 * (lo + hi))
+                moved = np.abs(u_next - u)
+                u = np.where(active, u_next, u)
+                active = active & (moved > tol_u * np.maximum(u, tol_u))
+            u_best = np.where(at_max, ulo, np.where(at_min, uhi, u))
+            best_log = np.clip(
+                np.log(-np.log(u_best) / c_jc), MIN_LOG_BL, MAX_LOG_BL
+            )
+            current_log = np.log(bl_np[g])
+            keep = acc_obj(u_of(best_log)) < acc_obj(u_of(current_log))
+            new_log = np.where(keep, best_log, current_log)
+            out = bl_np.copy()
+            out[g] = np.exp(new_log)
+            return out
+
+        bl = np.asarray(self.branch_lengths, np.float64)
+        cur = refresh_ab(bl)
+        sweeps = 0
+        for _ in range(max_iter):
+            proposed = newton_sweep(bl)
+            sweeps += 1
+            m = refresh_ab(proposed)
+            alpha, trial = 1.0, proposed
+            while m < cur and alpha > 1.0 / 64:
+                alpha /= 2.0
+                trial = np.exp(
+                    (1 - alpha) * np.log(np.maximum(bl, 1e-300))
+                    + alpha * np.log(np.maximum(proposed, 1e-300))
+                )
+                m = refresh_ab(trial)
+            if m < cur:
+                refresh_ab(bl)  # restore A/B for the current bl
+                break
+            improved_enough = abs(m - cur) >= tol
+            bl, cur = trial, m
+            if not improved_enough:
+                break
+        self.branch_lengths = bl
+        if memmap_dir is not None:
+            import os
+
+            del AB
+            os.unlink(tmp.name)
+        if finalize:
+            # Materialize full-width PLVs/rows for downstream consumers;
+            # skip (finalize=False) when the arena genuinely exceeds HBM.
+            self.populate_plvs()
+            self.compute_likelihoods()
+        return float(cur), sweeps
 
     def run_branch_ascent(self, tol: float, max_iter: int):
         """Device-resident EstimateBranchLengths; returns (marginal, iters)."""

@@ -359,35 +359,46 @@ def indexer_pcsp_only(indexer, dag):
 
 
 def dag_to_dot(dag, show_index_labels: bool = True) -> str:
-    """DOT export (subsplit_dag.cpp ToDot)."""
-    lines = ["digraph g {", "node [shape=record];", "edge [colorscheme=dark23];"]
+    """DOT export, byte-mirroring the reference's ToDot
+    (subsplit_dag.cpp:77-119): same DepthFirstWithAction emission order
+    (per rootsplit: BeforeNode, then the rotated=false clade before the
+    rotated=true clade, recursing into unvisited non-leaf children before
+    VisitEdge fires), same leaf-label re-emission on every edge visit,
+    same header/label/color formatting, same lone closing brace."""
+    out = ["digraph g {\n", "node [shape=record];\n", "edge [colorscheme=dark23];\n"]
     visited = set()
 
-    def visit_node(node_id):
+    def before_node(node_id):
         bs = dag.nodes[node_id].subsplit
-        label_mid = str(node_id) if show_index_labels else ""
-        lines.append(
+        mid = str(node_id) if show_index_labels else ""
+        out.append(
             f'{node_id} [label="<f0>'
-            f"{bs.subsplit_chunk(0).to_index_set_string()}|<f1>{label_mid}|<f2>"
-            f'{bs.subsplit_chunk(1).to_index_set_string()}"]'
+            f"{bs.subsplit_chunk(0).to_index_set_string()}|<f1>{mid}|<f2>"
+            f'{bs.subsplit_chunk(1).to_index_set_string()}"]\n'
         )
 
-    for node_id in reversed(dag.rootward_pass_traversal()):
-        if node_id in visited:
-            continue
-        visited.add(node_id)
-        if not dag.nodes[node_id].is_leaf():
-            visit_node(node_id)
+    def visit_edge(node_id, child_id, rotated):
+        if dag.nodes[child_id].is_leaf():
+            out.append(f'{child_id} [label="<f1>{child_id}"]\n')
+        field = "f0" if rotated else "f2"
+        edge = f'"{node_id}":{field}->"{child_id}":f1'
+        if show_index_labels:
+            idx = dag.gpcsp_index_of_ids(node_id, child_id)
+            color = 1 if rotated else 3
+            edge += f' [label="{idx}", color={color}, fontcolor={color}]'
+        out.append(edge + "\n")
+
+    def for_node(node_id):
+        before_node(node_id)
         for rotated in (False, True):
             for child_id in dag.nodes[node_id].get_leafward(rotated):
-                if dag.nodes[child_id].is_leaf():
-                    lines.append(f'{child_id} [label="<f1>{child_id}"]')
-                field = "f0" if rotated else "f2"
-                edge = f'"{node_id}":{field}->"{child_id}":f1'
-                if show_index_labels:
-                    idx = dag.gpcsp_index_of_ids(node_id, child_id)
-                    color = 1 if rotated else 3
-                    edge += f' [label="{idx}", color={color}, fontcolor={color}]'
-                lines.append(edge)
-    lines.append("}")
-    return "\n".join(lines)
+                if child_id not in visited:
+                    visited.add(child_id)
+                    if not dag.nodes[child_id].is_leaf():
+                        for_node(child_id)
+                visit_edge(node_id, child_id, rotated)
+
+    for root_id in dag.rootsplit_node_ids():
+        for_node(root_id)
+    out.append("}")
+    return "".join(out)

@@ -360,3 +360,30 @@ def test_gp_sp_sharded_matches_unsharded():
     m1, bl1 = fit(mesh)
     assert abs(m0 - m1) < 1e-9, (m0, m1)
     np.testing.assert_allclose(bl0, bl1, rtol=1e-9, atol=1e-12)
+
+
+def test_streamed_ascent_matches_fused():
+    """run_branch_ascent_streamed (pattern axis in chunks, per-edge Newton
+    stats in host RAM / np.memmap — the beyond-HBM capacity mode replacing
+    the reference's disk-mmapped PLV arena, mmapped_plv.hpp:19-47) matches
+    the fused in-memory ascent: same sweeps, same marginal, branch lengths
+    to 1e-12. Chunk 7 deliberately does not divide the pattern count."""
+    def fit(**kw):
+        inst = GPInstance()
+        inst.read_fasta_file(f"{DATA}/five_taxon.fasta")
+        inst.read_newick_file(f"{DATA}/five_taxon_rooted.nwk")
+        inst.make_engine()
+        eng = inst.get_engine()
+        if kw:
+            m, it = eng.run_branch_ascent_streamed(1e-8, 50, **kw)
+        else:
+            m, it = eng.run_branch_ascent(1e-8, 50)
+        return m, it, np.asarray(eng.branch_lengths)
+
+    m0, it0, bl0 = fit()
+    m1, it1, bl1 = fit(pattern_chunk=7)
+    m2, it2, bl2 = fit(pattern_chunk=16, memmap_dir="/tmp")
+    assert (it0, m0) == (it1, m1) or abs(m0 - m1) < 1e-9
+    assert abs(m0 - m2) < 1e-9
+    np.testing.assert_allclose(bl1, bl0, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(bl2, bl0, rtol=1e-10, atol=1e-12)

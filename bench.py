@@ -209,6 +209,22 @@ def main():
         print(json.dumps({"metric": "parity", "value": parity}))
         sys.exit(0 if parity == "pass" else 1)
 
+    if parity != "pass":
+        # Hard gate: a red parity check must never ship as a perf headline
+        # (round 2 did exactly that). No throughput number, nonzero exit.
+        print(
+            json.dumps(
+                {
+                    "metric": "PARITY FAILURE — throughput withheld",
+                    "value": 0.0,
+                    "unit": "evals/sec",
+                    "vs_baseline": 0.0,
+                    "parity": parity,
+                }
+            )
+        )
+        sys.exit(1)
+
     if engine == "pallas":
         jfn = jax.jit(ge.entry_pallas())
         run = lambda: jfn(post_children, bl)  # noqa: E731

@@ -22,6 +22,16 @@ from jax import config as _jax_config
 
 _jax_config.update("jax_enable_x64", True)
 
+# TPU MXU default is bf16-multiply for f32 matmuls; that loses ~1% of the
+# log-likelihood (96 LL units on DS1 — fails the pybeagle parity gate, see
+# docs/parity_map.md precision policy). Every einsum/dot in the likelihood,
+# gradient, GP, and VI paths therefore runs at full-f32 matmul precision by
+# default. Override with LIBSBN_TPU_MATMUL_PRECISION=default|high|highest.
+_jax_config.update(
+    "jax_default_matmul_precision",
+    _os.environ.get("LIBSBN_TPU_MATMUL_PRECISION", "highest"),
+)
+
 # Persistent XLA compilation cache: deep subsplit-DAG programs can take
 # minutes of compile on TPU; cache them across processes. Opt out with
 # LIBSBN_TPU_NO_CACHE=1 or redirect with LIBSBN_TPU_CACHE_DIR.

@@ -44,7 +44,11 @@ DEFAULT_BRANCH_LENGTH = 0.1
 def _jc69_transition(bl):
     """(E,) branch lengths -> (E, 4, 4) JC69 transition matrices."""
     freqs, evec, ivec, evals = substitution.jc69_eigen(bl.dtype)
-    expo = jnp.exp(bl[..., None] * evals)
+    # f64 exp (cast back): TPU f32 exp error is several ulp and amplifies
+    # through the DAG recursion (BASELINE.md precision policy).
+    expo = jnp.exp(
+        bl.astype(jnp.float64)[..., None] * evals.astype(jnp.float64)
+    ).astype(bl.dtype)
     return jnp.einsum("ij,...j,jk->...ik", evec, expo, ivec)
 
 

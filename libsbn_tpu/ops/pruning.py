@@ -46,10 +46,20 @@ def node_transition_matrices(evec, ivec, evals, branch_lengths, rates):
     """P = V exp(Λ · b · r) V⁻¹ for every node slot and rate category.
 
     branch_lengths: (N+1,) with 0 at root and ones slot; rates: (K,).
-    Returns (N+1, K, 4, 4)."""
-    t = branch_lengths[:, None] * rates[None, :]  # (N+1, K)
-    expo = jnp.exp(t[..., None] * evals)  # (N+1, K, 4)
-    return jnp.einsum("ij,nkj,jl->nkil", evec, expo, ivec)
+    Returns (N+1, K, 4, 4).
+
+    The scalar exponential runs in f64 regardless of the working dtype:
+    TPU's f32 exp is several ulp off, and that error amplifies through ~L
+    levels of partial products into ~1 LL unit on DS1 Weibull+4 (the
+    pybeagle/physher parity gates demand atol 0.5; see BASELINE.md
+    precision policy). The (N+1,K,4) exp tensor is tiny next to the
+    pruning work, so the f64 emulation cost on TPU is noise."""
+    dt = jnp.result_type(evec, branch_lengths)
+    t = branch_lengths.astype(jnp.float64)[:, None] * rates.astype(
+        jnp.float64
+    )[None, :]  # (N+1, K)
+    expo = jnp.exp(t[..., None] * evals.astype(jnp.float64))  # (N+1, K, 4)
+    return jnp.einsum("ij,nkj,jl->nkil", evec, expo.astype(dt), ivec)
 
 
 # -- forward (postorder) pass ----------------------------------------------

@@ -90,7 +90,12 @@ def transition_matrices(evec, ivec, evals, edge_lengths):
     every likelihood engine in the framework (replaces BEAGLE's
     beagleUpdateTransitionMatrices and the GP engine's per-op 4x4 exps)."""
     t = jnp.asarray(edge_lengths)
-    expo = jnp.exp(t[..., None] * evals)  # (..., 4)
+    # f64 exp regardless of working dtype: TPU's f32 exp error amplifies
+    # through the pruning recursion past the parity gates (see
+    # pruning.node_transition_matrices / BASELINE.md precision policy).
+    expo = jnp.exp(
+        t.astype(jnp.float64)[..., None] * evals.astype(jnp.float64)
+    ).astype(t.dtype)  # (..., 4)
     return jnp.einsum("ij,...j,jk->...ik", evec, expo, ivec)
 
 

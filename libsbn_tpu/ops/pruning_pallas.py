@@ -59,6 +59,7 @@ def _kernel(
     props_ref,  # SMEM (1, K): rate-category proportions
     q_ref,  # VMEM (K, 4, 4): rate-scaled rate matrices (Q * r_k)
     P_ref,  # VMEM (1, N1*K, 4, 4): transition matrices, row node*K + k
+    PT_ref,  # VMEM (1, N1*K, 4, 4): transposed transition matrices
     tips_ref,  # VMEM (L, 4, PT): leaf tip partials
     w_ref,  # VMEM (1, PT): pattern weights (0 on padding)
     ll_ref,  # out VMEM (1, 1, 1, 1): this (tree, tile) partial ll
@@ -70,6 +71,7 @@ def _kernel(
     leaf_count: int,
     root_id: int,
     K: int,
+    vpu: bool,
 ):
     L = leaf_count
     ones_slot = root_id + 1
@@ -87,6 +89,9 @@ def _kernel(
     def pmat(node, k):
         return P_ref[0, pl.ds(node * K + k, 1), :, :][0]  # (4, 4)
 
+    def pmat_t(node, k):
+        return PT_ref[0, pl.ds(node * K + k, 1), :, :][0]  # (4, 4), P^T
+
     def read(ref, node):
         return ref[pl.ds(node, 1), :, :][0]  # (R, PT)
 
@@ -97,12 +102,27 @@ def _kernel(
     acc = jnp.float32 if dt == jnp.bfloat16 else dt
 
     def apply_blocks(mats_of_k, slab, transpose=False):
-        """Per-category (4,4) dots on the K row blocks of a slab."""
+        """Per-category 4x4 transition applies on the K row blocks of a slab.
+
+        Two lowerings (docs/performance.md round-3 measurements):
+        * vpu=True (f32 default): broadcast FMAs — out[i,:] = sum_j
+          m[i,j]*slab[j,:] as (4,1)x(1,PT) products, pairwise-summed. Exact
+          f32, no MXU passes: Mosaic supports only DEFAULT (1-pass bf16,
+          fails the parity gate by ~96 LL units) or HIGHEST (6-pass, 28%
+          slower than this) for dots, and a 4-row dot uses 4/128 MXU rows
+          anyway. Callers pass the transposed matrices for transpose mode.
+        * vpu=False: MXU dots at the trace-time matmul precision (bf16
+          paths, and the accuracy fallback via LIBSBN_TPU_PALLAS_APPLY=mxu).
+        """
         outs = []
         for k in range(K):
             block = slab[4 * k : 4 * k + 4, :]
             m = mats_of_k(k)
-            if transpose:
+            if vpu:
+                t01 = m[:, 0:1] * block[0:1, :] + m[:, 1:2] * block[1:2, :]
+                t23 = m[:, 2:3] * block[2:3, :] + m[:, 3:4] * block[3:4, :]
+                out = t01 + t23
+            elif transpose:
                 out = jax.lax.dot_general(
                     m, block, (((0,), (0,)), ((), ())),
                     preferred_element_type=acc,
@@ -171,7 +191,8 @@ def _kernel(
         node = root_id - t
         s = node - L
         ev_up = apply_blocks(
-            lambda k: pmat(node, k), read(U, node), transpose=True
+            (lambda k: pmat_t(node, k)) if vpu else (lambda k: pmat(node, k)),
+            read(U, node), transpose=True,
         )  # (R, PT) = P_node^T U[node] per category
         k0 = sched_ref[0, s, 0]
         k1 = sched_ref[0, s, 1]
@@ -204,11 +225,12 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("leaf_count", "root_id", "tile", "interpret")
+    jax.jit,
+    static_argnames=("leaf_count", "root_id", "tile", "interpret", "vpu"),
 )
 def _pallas_ll_grad(
     post_children, P, Q, tips, freqs, props, weights, *, leaf_count, root_id,
-    tile, interpret,
+    tile, interpret, vpu,
 ):
     """post_children: (B, S, 3) int32; P: (B, N1, K, 4, 4); Q: (K, 4, 4);
     tips: (L, 4, PT); freqs: (1, 4); props: (1, K); weights: (1, PT).
@@ -227,8 +249,11 @@ def _pallas_ll_grad(
     dt = P.dtype
     cdt = jnp.float32 if dt == jnp.bfloat16 else dt
     P2 = P.reshape(B, N1 * K, 4, 4)
+    P2T = jnp.swapaxes(P2, -1, -2)
 
-    kernel = functools.partial(_kernel, leaf_count=L, root_id=root_id, K=K)
+    kernel = functools.partial(
+        _kernel, leaf_count=L, root_id=root_id, K=K, vpu=vpu
+    )
     # The package enables x64 globally (parity needs f64), but Mosaic wants
     # pure-i32 index/loop scalars; trace the kernel with x64 off. (f64 runs
     # interpret-mode only — parity tests — and keeps x64 on.)
@@ -254,6 +279,10 @@ def _pallas_ll_grad(
                 ),
                 pl.BlockSpec(
                     (K, 4, 4), lambda b, t: (0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, N1 * K, 4, 4), lambda b, t: (b, 0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
@@ -288,7 +317,7 @@ def _pallas_ll_grad(
                 pltpu.VMEM((N1, 1, tile), cdt),
             ],
             interpret=interpret,
-        )(post_children, freqs, props, Q, P2, tips, weights)
+        )(post_children, freqs, props, Q, P2, P2T, tips, weights)
     return ll[:, :, 0, 0].sum(axis=1), grad[:, :, :, 0].sum(axis=1)
 
 
@@ -322,9 +351,24 @@ def pad_patterns(tips, weights, multiple: int = 128):
     return tips_p, w_p
 
 
+def _apply_mode(dtype, apply=None):
+    """Resolve the kernel apply lowering: 'vpu' (exact-f32 broadcast FMAs,
+    the fast default) or 'mxu' (dots at the trace-time matmul precision).
+    bf16 slabs always use MXU dots (their f32 accumulators beat bf16 VPU
+    products). Env override: LIBSBN_TPU_PALLAS_APPLY."""
+    import os
+
+    if dtype == jnp.bfloat16:
+        return False
+    mode = apply or os.environ.get("LIBSBN_TPU_PALLAS_APPLY", "vpu")
+    assert mode in ("vpu", "mxu"), mode
+    return mode == "vpu"
+
+
 def log_likelihood_and_branch_gradient_pallas(
     post_children, P, Q_scaled, tips, freqs, weights, *, root_id,
     props=None, interpret=False, trees_per_program=None, tile=None,
+    apply=None,
 ):
     """Drop-in for ops.pruning.log_likelihood_and_branch_gradient over a
     BATCH of trees.
@@ -366,6 +410,7 @@ def log_likelihood_and_branch_gradient_pallas(
         root_id=root_id,
         tile=tile,
         interpret=interpret,
+        vpu=_apply_mode(P.dtype, apply),
     )
     return ll, grad[:, :root_id]
 

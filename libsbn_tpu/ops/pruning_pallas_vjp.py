@@ -27,7 +27,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pruning_pallas import pad_patterns
+from .pruning_pallas import _apply_mode, pad_patterns
 
 
 def _x64_ctx(dt):
@@ -36,9 +36,9 @@ def _x64_ctx(dt):
 
 # -- forward kernel: E-form, ll only -----------------------------------------
 def _fwd_kernel(
-    sched_ref, freqs_ref, props_ref, P_ref, tips_ref, w_ref,
+    sched_ref, freqs_ref, props_ref, P_ref, PT_ref, tips_ref, w_ref,
     ll_ref, E,
-    *, leaf_count: int, root_id: int, K: int,
+    *, leaf_count: int, root_id: int, K: int, vpu: bool,
 ):
     L = leaf_count
     ones_slot = root_id + 1
@@ -58,14 +58,18 @@ def _fwd_kernel(
         ref[pl.ds(node, 1), :, :] = val[None]
 
     def apply_blocks(node, slab):
+        # VPU broadcast-FMA or MXU dot; see pruning_pallas.apply_blocks.
         outs = []
         for k in range(K):
-            outs.append(
-                jnp.dot(
-                    pmat(node, k), slab[4 * k : 4 * k + 4, :],
-                    preferred_element_type=acc,
-                ).astype(dt)
-            )
+            block = slab[4 * k : 4 * k + 4, :]
+            m = pmat(node, k)
+            if vpu:
+                t01 = m[:, 0:1] * block[0:1, :] + m[:, 1:2] * block[1:2, :]
+                t23 = m[:, 2:3] * block[2:3, :] + m[:, 3:4] * block[3:4, :]
+                out = t01 + t23
+            else:
+                out = jnp.dot(m, block, preferred_element_type=acc)
+            outs.append(out.astype(dt))
         return outs[0] if K == 1 else jnp.concatenate(outs, axis=0)
 
     write(E, ones_slot, jnp.ones((R, PT), dt))
@@ -105,12 +109,12 @@ def _fwd_kernel(
 
 # -- backward kernel: M-form recompute + upper pass + dP ---------------------
 def _bwd_kernel(
-    sched_ref, freqs_ref, props_ref, P_ref, tips_ref, w_ref,
+    sched_ref, freqs_ref, props_ref, P_ref, PT_ref, tips_ref, w_ref,
     dP_ref,  # out (1, N1*K, 4, 4)
     dfreqs_ref,  # out (1, 4, 1)
     dprops_ref,  # out (1, K, 1)
     M, E, U,
-    *, leaf_count: int, root_id: int, K: int,
+    *, leaf_count: int, root_id: int, K: int, vpu: bool,
 ):
     L = leaf_count
     ones_slot = root_id + 1
@@ -124,6 +128,9 @@ def _bwd_kernel(
     def pmat(node, k):
         return P_ref[0, pl.ds(node * K + k, 1), :, :][0]
 
+    def pmat_t(node, k):
+        return PT_ref[0, pl.ds(node * K + k, 1), :, :][0]
+
     def read(ref, node):
         return ref[pl.ds(node, 1), :, :][0]
 
@@ -131,17 +138,22 @@ def _bwd_kernel(
         ref[pl.ds(node, 1), :, :] = val[None]
 
     def apply_blocks(node, slab, transpose=False):
+        # VPU broadcast-FMA or MXU dot; see pruning_pallas.apply_blocks.
         outs = []
         for k in range(K):
             block = slab[4 * k : 4 * k + 4, :]
-            m = pmat(node, k)
-            if transpose:
+            if vpu:
+                m = pmat_t(node, k) if transpose else pmat(node, k)
+                t01 = m[:, 0:1] * block[0:1, :] + m[:, 1:2] * block[1:2, :]
+                t23 = m[:, 2:3] * block[2:3, :] + m[:, 3:4] * block[3:4, :]
+                out = t01 + t23
+            elif transpose:
                 out = jax.lax.dot_general(
-                    m, block, (((0,), (0,)), ((), ())),
+                    pmat(node, k), block, (((0,), (0,)), ((), ())),
                     preferred_element_type=acc,
                 )
             else:
-                out = jnp.dot(m, block, preferred_element_type=acc)
+                out = jnp.dot(pmat(node, k), block, preferred_element_type=acc)
             outs.append(out.astype(dt))
         return outs[0] if K == 1 else jnp.concatenate(outs, axis=0)
 
@@ -262,6 +274,9 @@ def _specs(B, S, N1, K, L, PT):
         pl.BlockSpec(
             (1, N1 * K, 4, 4), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
         ),
+        pl.BlockSpec(
+            (1, N1 * K, 4, 4), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
         pl.BlockSpec((L, 4, PT), lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, PT), lambda b: (0, 0), memory_space=pltpu.VMEM),
     ]
@@ -280,8 +295,10 @@ def _fwd_call(post_children, P2, tips, freqs, props, weights, *, leaf_count,
     L = leaf_count
     dt = P2.dtype
     kernel = functools.partial(
-        _fwd_kernel, leaf_count=L, root_id=root_id, K=K
+        _fwd_kernel, leaf_count=L, root_id=root_id, K=K,
+        vpu=_apply_mode(dt),
     )
+    P2T = jnp.swapaxes(P2, -1, -2)
     with _x64_ctx(dt):
         (ll,) = pl.pallas_call(
             kernel,
@@ -293,7 +310,7 @@ def _fwd_call(post_children, P2, tips, freqs, props, weights, *, leaf_count,
             out_shape=[jax.ShapeDtypeStruct((B, 1, 1), dt)],
             scratch_shapes=[pltpu.VMEM((N1, 4 * K, PT), dt)],
             interpret=interpret,
-        )(post_children, freqs, props, P2, tips, weights)
+        )(post_children, freqs, props, P2, P2T, tips, weights)
     return ll[:, 0, 0]
 
 
@@ -309,8 +326,10 @@ def _bwd_call(post_children, P2, tips, freqs, props, weights, *, leaf_count,
     L = leaf_count
     dt = P2.dtype
     kernel = functools.partial(
-        _bwd_kernel, leaf_count=L, root_id=root_id, K=K
+        _bwd_kernel, leaf_count=L, root_id=root_id, K=K,
+        vpu=_apply_mode(dt),
     )
+    P2T = jnp.swapaxes(P2, -1, -2)
     with _x64_ctx(dt):
         dP, dfreqs, dprops = pl.pallas_call(
             kernel,
@@ -339,7 +358,7 @@ def _bwd_call(post_children, P2, tips, freqs, props, weights, *, leaf_count,
                 pltpu.VMEM((N1, 4 * K, PT), dt),
             ],
             interpret=interpret,
-        )(post_children, freqs, props, P2, tips, weights)
+        )(post_children, freqs, props, P2, P2T, tips, weights)
     return dP, dfreqs[:, :, 0], dprops[:, :, 0]
 
 

@@ -14,11 +14,11 @@ Gradient conventions (PhyloGradient parity, tree_gradient.hpp):
     zeros (root + fixed child, fat_beagle.cpp:498-499).
   * "substitution_model": gradient in stick-breaking-unconstrained space,
     rates block then frequencies block (fat_beagle.cpp:440-466) — computed
-    here by AD, not finite differences. Caveat: AD flows through the GTR
-    eigendecomposition, whose derivative is undefined when Q has repeated
-    eigenvalues — notably at the *uniform-rates default* (JC-like Q). Ask
-    for substitution gradients at a generic parameter point (the reference's
-    finite-difference scheme quietly tolerates degeneracy; ours does not).
+    by AD through expm_transition's Daleckii-Krein JVP
+    (ops/substitution.py), which is exact and stays defined at repeated
+    eigenvalues, including the uniform-rates default (JC-like Q) —
+    strictly stronger than both plain AD-through-eigh (undefined there)
+    and the reference's central finite differences (O(eps^2) error).
   * "site_model": d LL / d Weibull shape (exact, via AD of the discretized
     rates).
   * "ratios_root_height": d (LL + log|Jacobian|) / d (height ratios, root
@@ -76,12 +76,30 @@ class LikelihoodEngine:
         c = lambda x: x.astype(self.dtype)  # noqa: E731
         return c(freqs), c(evec), c(ivec), c(evals), c(rates), c(props), c(Q)
 
-    def _tree_ll(self, sched5, root_id, bl_padded, params):
-        """LL of one tree from padded branch lengths (N+1,)."""
-        freqs, evec, ivec, evals, rates, props, _ = self._model_tensors(params)
-        P = pruning.node_transition_matrices(
+    def _node_P(self, mt, bl_padded):
+        """Node transition matrices (..., N+1, K, 4, 4) from padded branch
+        lengths with any leading batch dims.
+
+        GTR differentiates through expm_transition's Daleckii-Krein JVP —
+        defined at repeated eigenvalues (the uniform-rates point), where AD
+        through eigh is not (ops/substitution.py; contrast the reference's
+        finite differences, fat_beagle.cpp:400-465). JC69's eigensystem is
+        a constant, so the eigen form is already degenerate-safe there."""
+        freqs, evec, ivec, evals, rates, props, Q = mt
+        if self.spec.substitution == "GTR":
+            from ..ops import substitution
+
+            ts = bl_padded.astype(self.dtype)[..., :, None] * rates[None, :]
+            return substitution.expm_transition(Q, freqs, ts)
+        return pruning.node_transition_matrices(
             evec, ivec, evals, bl_padded.astype(self.dtype), rates
         )
+
+    def _tree_ll(self, sched5, root_id, bl_padded, params):
+        """LL of one tree from padded branch lengths (N+1,)."""
+        mt = self._model_tensors(params)
+        freqs, props = mt[0], mt[5]
+        P = self._node_P(mt, bl_padded)
         return pruning._log_likelihood(
             self.rescale, root_id, sched5, P, self.tips, freqs, props, self.weights,
         )
@@ -122,14 +140,9 @@ class LikelihoodEngine:
 
         def build():
             def fn(post_children, bl_padded, params):
-                freqs, evec, ivec, evals, rates, props, _ = (
-                    self._model_tensors(params)
-                )
-                P = jax.vmap(
-                    lambda b: pruning.node_transition_matrices(
-                        evec, ivec, evals, b.astype(self.dtype), rates
-                    )
-                )(bl_padded)
+                mt = self._model_tensors(params)
+                freqs, props = mt[0], mt[5]
+                P = self._node_P(mt, bl_padded)
                 tips_p, w_p = pruning_pallas.pad_patterns(
                     self.tips, self.weights
                 )
@@ -185,15 +198,9 @@ class LikelihoodEngine:
 
             def build_pallas():
                 def fn(post_children, bl, params):
-                    freqs, evec, ivec, evals, rates, props, Q = (
-                        self._model_tensors(params)
-                    )
-                    P = jax.vmap(
-                        lambda b: pruning.node_transition_matrices(
-                            evec, ivec, evals, self._pad(b).astype(self.dtype),
-                            rates,
-                        )
-                    )(bl)
+                    mt = self._model_tensors(params)
+                    freqs, rates, props, Q = mt[0], mt[4], mt[5], mt[6]
+                    P = self._node_P(mt, self._pad(bl))
                     Qs = Q[None] * rates[:, None, None]
                     return (
                         pruning_pallas.log_likelihood_and_branch_gradient_pallas(
@@ -214,12 +221,9 @@ class LikelihoodEngine:
 
         def build():
             def one(sched5, bl, params):
-                freqs, evec, ivec, evals, rates, props, Q = self._model_tensors(
-                    params
-                )
-                P = pruning.node_transition_matrices(
-                    evec, ivec, evals, self._pad(bl).astype(self.dtype), rates
-                )
+                mt = self._model_tensors(params)
+                freqs, rates, props, Q = mt[0], mt[4], mt[5], mt[6]
+                P = self._node_P(mt, self._pad(bl))
                 Qs = Q[None] * rates[:, None, None]
 
                 class _S:

@@ -139,7 +139,12 @@ def model_tensors(spec: PhyloModelSpec, params: Dict):
     elif spec.substitution == "GTR":
         p = params["substitution"]
         freqs, evec, ivec, evals = subst_ops.gtr_eigen(p["rates"], p["frequencies"])
-        Q = subst_ops.q_from_eigen(evec, ivec, evals)
+        # Built directly from the parameters (not via the eigendecomposition)
+        # so Q's AD path avoids eigh entirely — the engine's GTR transition
+        # matrices differentiate through expm_transition's Daleckii-Krein
+        # JVP, which stays defined at repeated eigenvalues (the
+        # uniform-rates point). See ops/substitution.py.
+        Q = subst_ops.gtr_q(p["rates"], p["frequencies"])
     else:
         raise ValueError(f"Substitution model not known: {spec.substitution}")
 

@@ -14,6 +14,7 @@ replacing the reference's central-finite-difference scheme
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -101,6 +102,80 @@ def transition_matrices(evec, ivec, evals, edge_lengths):
 
 def q_from_eigen(evec, ivec, evals):
     return jnp.einsum("ij,j,jk->ik", evec, evals, ivec)
+
+
+def _eigen_of_q(Q, freqs):
+    """(evals, V, V^-1) of a reversible Q via the symmetrized form.
+    freqs enters only as a numerical device (similarity transform)."""
+    sqrt_f = jnp.sqrt(freqs)
+    S = sqrt_f[:, None] * Q / sqrt_f[None, :]
+    S = 0.5 * (S + S.T)
+    lam, U = jnp.linalg.eigh(S)
+    return lam, U / sqrt_f[:, None], U.T * sqrt_f[None, :]
+
+
+@jax.custom_jvp
+def expm_transition(Q, freqs, ts):
+    """P(t) = expm(Q t) batched over ts, degenerate-eigenvalue-safe AD.
+
+    Q: (4, 4) reversible rate matrix; freqs: its stationary frequencies
+    (used ONLY to symmetrize the eigenproblem — P is a function of Q
+    alone, so freqs' tangent is correctly zero; differentiate through the
+    Q = gtr_q(rates, freqs) construction for frequency gradients);
+    ts: (...,) rate-scaled times. Returns (..., 4, 4).
+
+    Plain AD through jnp.linalg.eigh is undefined at repeated eigenvalues
+    (e.g. the uniform-rates GTR point, where Q is JC-like) because dV/dQ
+    blows up. dP itself stays smooth: by the Daleckii-Krein theorem,
+      dP = V [ (V^-1 dQ V) o Phi ] V^-1,
+      Phi_ij = (e^{t li} - e^{t lj}) / (li - lj),  Phi_ii = t e^{t li},
+    which is basis-independent within degenerate eigenspaces (Phi is
+    constant there), so any eigh basis works. The divided difference is
+    evaluated in the cancellation-stable sinhc form. This replaces the
+    reference's central-finite-difference fallback
+    (/root/reference/src/fat_beagle.cpp:400-465) with exact derivatives
+    that remain exact AT the degenerate point. Inner math in f64
+    (BASELINE.md precision policy)."""
+    dt = jnp.result_type(Q, ts)
+    lam, V, Vi = _eigen_of_q(
+        Q.astype(jnp.float64), jnp.asarray(freqs, jnp.float64)
+    )
+    expo = jnp.exp(jnp.asarray(ts, jnp.float64)[..., None] * lam)
+    return jnp.einsum("ij,...j,jk->...ik", V, expo, Vi).astype(dt)
+
+
+@expm_transition.defjvp
+def _expm_transition_jvp(primals, tangents):
+    Q, freqs, ts = primals
+    dQ, _dfreqs, dts = tangents  # dfreqs: zero contribution by construction
+    dt = jnp.result_type(Q, ts)
+    f64 = jnp.float64
+    lam64, V, Vi = _eigen_of_q(
+        jax.lax.stop_gradient(Q).astype(f64),
+        jax.lax.stop_gradient(jnp.asarray(freqs, f64)),
+    )
+    t64 = jnp.asarray(ts, f64)
+    expo = jnp.exp(t64[..., None] * lam64)  # (..., 4)
+    P = jnp.einsum("ij,...j,jk->...ik", V, expo, Vi).astype(dt)
+
+    # Phi in sinhc form: t * e^{t(li+lj)/2} * sinhc(t(li-lj)/2).
+    mean = 0.5 * (lam64[:, None] + lam64[None, :])
+    diff = 0.5 * (lam64[:, None] - lam64[None, :])
+    a = t64[..., None, None] * mean
+    d = t64[..., None, None] * diff
+    small = jnp.abs(d) < 1e-6
+    d_safe = jnp.where(small, 1.0, d)
+    sinhc = jnp.where(small, 1.0 + d * d / 6.0, jnp.sinh(d_safe) / d_safe)
+    phi = t64[..., None, None] * jnp.exp(a) * sinhc  # (..., 4, 4)
+
+    A = Vi @ jnp.asarray(dQ, f64) @ V  # symmetrized-space tangent
+    dP_q = jnp.einsum("ij,...jk,kl->...il", V, A * phi, Vi)
+    # time tangent: dP/dt = V diag(lam e^{lam t}) Vi.
+    dP_t = (
+        jnp.einsum("ij,...j,jk->...ik", V, lam64 * expo, Vi)
+        * jnp.asarray(dts, f64)[..., None, None]
+    )
+    return P, (dP_q + dP_t).astype(dt)
 
 
 DEFAULT_GTR_RATES = np.full(6, 1.0 / 6.0)

@@ -75,3 +75,104 @@ def test_jc69_transition_matrix():
     assert abs(float(P[0, 1]) - 0.1580301397) < 1e-10
     # Rows sum to one.
     np.testing.assert_allclose(jnp.sum(P, axis=1), 1.0, atol=1e-12)
+
+
+def test_expm_transition_matches_eigen_form():
+    """expm_transition == V e^{Lt} V^-1 at a generic GTR point, and its JVP
+    matches AD-through-eigh there (where both are defined)."""
+    import jax
+
+    rates = jnp.array([0.05, 0.1, 0.15, 0.20, 0.25, 0.25])
+    freqs = jnp.array([0.1, 0.2, 0.3, 0.4])
+    ts = jnp.array([0.1, 0.5, 1.3])
+    Q = substitution.gtr_q(rates, freqs)
+    _, evec, ivec, evals = substitution.gtr_eigen(rates, freqs)
+    P_ref = substitution.transition_matrices(evec, ivec, evals, ts)
+    P = substitution.expm_transition(Q, freqs, ts)
+    np.testing.assert_allclose(P, P_ref, atol=1e-12)
+
+    def f_frechet(r):
+        return jnp.sum(
+            substitution.expm_transition(
+                substitution.gtr_q(r, freqs), freqs, ts
+            )
+            ** 2
+        )
+
+    def f_eigh(r):
+        fr, ev, iv, ei = substitution.gtr_eigen(r, freqs)
+        return jnp.sum(substitution.transition_matrices(ev, iv, ei, ts) ** 2)
+
+    g1 = jax.grad(f_frechet)(rates)
+    g2 = jax.grad(f_eigh)(rates)
+    np.testing.assert_allclose(g1, g2, atol=1e-8)
+
+
+def test_gtr_gradient_at_repeated_eigenvalues():
+    """Substitution gradients AT the uniform-rates point (JC-like Q, a
+    triple eigenvalue) are finite and match central finite differences —
+    the case AD-through-eigh cannot handle (documented failure; the
+    reference sidesteps it with finite differences,
+    /root/reference/src/fat_beagle.cpp:400-465)."""
+    import jax
+
+    from libsbn_tpu.core.site_pattern import SitePattern
+    from libsbn_tpu.io import newick
+    from libsbn_tpu.io.fasta import Alignment
+    from libsbn_tpu.models.engine import LikelihoodEngine
+    from libsbn_tpu.models.phylo_model import (
+        PhyloModelSpec, default_parameters,
+    )
+    from libsbn_tpu.ops import schedule
+
+    tops, bls, ttm = newick.parse_newick_file(
+        "/root/reference/data/hello.nwk"
+    )
+    sp = SitePattern(
+        Alignment.read_fasta("/root/reference/data/hello.fasta"), ttm
+    )
+    spec = PhyloModelSpec("GTR", "constant", "strict")
+    engine = LikelihoodEngine(sp, spec)
+    sched = schedule.schedules_of_topologies(tops)
+    bl = np.stack(bls)
+    params = default_parameters(spec)  # uniform rates: repeated eigenvalues
+
+    g = engine.phylo_gradients(sched, bl, params)
+    gsub = np.asarray(g["substitution_model"])[0]
+    assert np.all(np.isfinite(gsub)), gsub
+
+    # Central finite differences in the same stick-breaking space.
+    from libsbn_tpu.ops import transforms
+
+    y0 = np.concatenate(
+        [
+            np.asarray(
+                transforms.stick_breaking_inverse(
+                    params["substitution"]["rates"]
+                )
+            ),
+            np.asarray(
+                transforms.stick_breaking_inverse(
+                    params["substitution"]["frequencies"]
+                )
+            ),
+        ]
+    )
+
+    def ll_of(y):
+        p = {
+            "substitution": {
+                "rates": transforms.stick_breaking(jnp.asarray(y[:5])),
+                "frequencies": transforms.stick_breaking(jnp.asarray(y[5:])),
+            }
+        }
+        return float(engine.log_likelihoods(sched, bl, p)[0])
+
+    eps = 1e-6
+    for j in range(8):
+        yp = y0.copy()
+        yp[j] += eps
+        ym = y0.copy()
+        ym[j] -= eps
+        fd = (ll_of(yp) - ll_of(ym)) / (2 * eps)
+        assert abs(gsub[j] - fd) < 1e-4 * max(1.0, abs(fd)), (j, gsub[j], fd)

@@ -135,20 +135,24 @@ def check_parity(ge, engine, sched, bl, sp):
     freqs, evec, ivec, evals, rates, props, Q = model_tensors(spec, params)
     f32 = lambda a: jnp.asarray(a, jnp.float32)  # noqa: E731
     rates, props = f32(rates), f32(props)
-    P_b = jax.vmap(
-        lambda b: pruning.node_transition_matrices(
-            f32(evec), f32(ivec), f32(evals), b, rates
-        )
-    )(jnp.asarray(bl_p))
-    Qs = f32(Q)[None] * rates[:, None, None]
     if engine == "pallas":
-        ll_w, _ = pruning_pallas.log_likelihood_and_branch_gradient_pallas(
-            np.asarray(sched.post_children), P_b, Qs,
-            sp.tip_partials(np.float32), np.asarray(freqs, np.float32),
-            sp.weights.astype(np.float32), root_id=sched.root_id,
-            props=np.asarray(props, np.float32),
+        from libsbn_tpu.ops import pruning_pallas_jc
+
+        ll_w, _ = (
+            pruning_pallas_jc.log_likelihood_and_branch_gradient_pallas_jc69(
+                np.asarray(sched.post_children), jnp.asarray(bl_p),
+                sp.tip_partials(np.float32),
+                sp.weights.astype(np.float32), root_id=sched.root_id,
+                rates=rates, props=props,
+            )
         )
     else:
+        P_b = jax.vmap(
+            lambda b: pruning.node_transition_matrices(
+                f32(evec), f32(ivec), f32(evals), b, rates
+            )
+        )(jnp.asarray(bl_p))
+        Qs = f32(Q)[None] * rates[:, None, None]
         lls = []
         for i in range(bl_p.shape[0]):
             class _S:
@@ -225,14 +229,19 @@ def main():
         )
         sys.exit(1)
 
+    # Device-resident inputs: in production (VI loops) branch lengths and
+    # schedules live on device; host->device transfer over the tunneled
+    # chip would otherwise dominate the measurement.
     if engine == "pallas":
         jfn = jax.jit(ge.entry_pallas())
-        run = lambda: jfn(post_children, bl)  # noqa: E731
+        pc_d, bl_d = jax.device_put(post_children), jax.device_put(bl)
+        run = lambda: jfn(pc_d, bl_d)  # noqa: E731
     else:
         jfn = jax.jit(fn)
-        run = lambda: jfn(  # noqa: E731
-            post_node, post_children, up_node, up_parent, up_sibs, bl
+        args_d = jax.device_put(
+            (post_node, post_children, up_node, up_parent, up_sibs, bl)
         )
+        run = lambda: jfn(*args_d)  # noqa: E731
     out = run()
     jax.block_until_ready(out)
     # Steady state: best of 3 windows (the tunneled chip sees occasional

@@ -84,6 +84,18 @@ class SitePattern:
             out[t, p[idx], idx] = 1.0
         return out
 
+    def tip_states(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Tip-states form (fat_beagle.cpp:207-256 use_tip_states): the
+        (taxa, patterns) int8 symbol codes plus the (5, 4) decode table
+        (rows 0..3 one-hot, row 4 the all-ones gap partial). Stores 1
+        byte/site instead of 16 (4 floats) — the engine expands partials
+        on the fly inside its jitted programs, so the dense tensor never
+        persists."""
+        decode = np.concatenate(
+            [np.eye(4), np.ones((1, 4))], axis=0
+        )
+        return self.patterns.copy(), decode
+
     @staticmethod
     def hello() -> "SitePattern":
         aln = Alignment(

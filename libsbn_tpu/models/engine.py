@@ -50,11 +50,23 @@ class LikelihoodEngine:
         rescale: bool = True,
         dtype=jnp.float64,
         use_pallas: Optional[bool] = None,
+        use_tip_states: bool = False,
     ):
         self.spec = spec
         self.rescale = rescale
         self.dtype = dtype
-        self.tips = jnp.asarray(site_pattern.tip_partials(), dtype=dtype)
+        # Tip-states mode (fat_beagle.cpp:207-256 use_tip_states): keep
+        # 1-byte symbol codes resident and expand one-hot/gap partials on
+        # the fly inside the jitted programs — 16x less persistent tip
+        # memory, identical numerics (the expansion is exact).
+        self.use_tip_states = use_tip_states
+        if use_tip_states:
+            codes, decode = site_pattern.tip_states()
+            self._tip_codes = jnp.asarray(codes, jnp.int32)
+            self._tip_decode = jnp.asarray(decode, dtype)
+            self._tips = None
+        else:
+            self._tips = jnp.asarray(site_pattern.tip_partials(), dtype=dtype)
         self.weights = jnp.asarray(site_pattern.weights, dtype=dtype)
         # Fused Pallas kernel for the (ll, branch gradient) hot path: on by
         # default for f32 on TPU (any substitution/site model), scan engine
@@ -67,6 +79,14 @@ class LikelihoodEngine:
         # Run the Pallas kernels in interpreter mode (CPU testing).
         self.pallas_interpret = False
         self._jit_cache: Dict = {}
+
+    @property
+    def tips(self):
+        """(L, 4, patterns) tip partials; in tip-states mode built on the
+        fly from the 1-byte codes (traced away inside jit)."""
+        if self._tips is not None:
+            return self._tips
+        return jnp.swapaxes(self._tip_decode[self._tip_codes], 1, 2)
 
     # -- shared pieces ------------------------------------------------------
     def _model_tensors(self, params):
@@ -200,6 +220,19 @@ class LikelihoodEngine:
                 def fn(post_children, bl, params):
                     mt = self._model_tensors(params)
                     freqs, rates, props, Q = mt[0], mt[4], mt[5], mt[6]
+                    if self.spec.substitution == "JC69":
+                        # Matrix-free JC69 kernel: P = eI + (1-e)/4 J in
+                        # closed form (ops/pruning_pallas_jc.py).
+                        from ..ops import pruning_pallas_jc as jc
+
+                        return (
+                            jc.log_likelihood_and_branch_gradient_pallas_jc69(
+                                post_children, self._pad(bl), self.tips,
+                                self.weights, root_id=root_id,
+                                rates=rates, props=props,
+                                interpret=self.pallas_interpret,
+                            )
+                        )
                     P = self._node_P(mt, self._pad(bl))
                     Qs = Q[None] * rates[:, None, None]
                     return (

@@ -55,11 +55,11 @@ def node_transition_matrices(evec, ivec, evals, branch_lengths, rates):
     precision policy). The (N+1,K,4) exp tensor is tiny next to the
     pruning work, so the f64 emulation cost on TPU is noise."""
     dt = jnp.result_type(evec, branch_lengths)
-    t = branch_lengths.astype(jnp.float64)[:, None] * rates.astype(
+    t = branch_lengths.astype(jnp.float64)[..., :, None] * rates.astype(
         jnp.float64
-    )[None, :]  # (N+1, K)
-    expo = jnp.exp(t[..., None] * evals.astype(jnp.float64))  # (N+1, K, 4)
-    return jnp.einsum("ij,nkj,jl->nkil", evec, expo.astype(dt), ivec)
+    )  # (..., N+1, K)
+    expo = jnp.exp(t[..., None] * evals.astype(jnp.float64))  # (..., N+1, K, 4)
+    return jnp.einsum("ij,...nkj,jl->...nkil", evec, expo.astype(dt), ivec)
 
 
 # -- forward (postorder) pass ----------------------------------------------

@@ -1,0 +1,327 @@
+"""JC69-structured fused pruning kernel: likelihood + branch gradient.
+
+The generic kernel (ops/pruning_pallas.py) applies arbitrary 4x4
+transition matrices. Under JC69 — the production substitution model of
+every benchmark workload here and in the reference (vip/benchmark.py,
+src/unrooted_sbn_instance.hpp DS1 tests) — the matrix has closed form
+
+    P(t) = e I + (1 - e)/4 J,   e = exp(-4t/3),  J = all-ones,
+
+and the whole kernel collapses algebraically (docs/performance.md):
+
+  * apply: P v = e v + (1-e)/4 (sum_i v_i)  — one 4-row sum + two
+    broadcast FMAs instead of a 4x4 contraction; P^T = P, so the upward
+    pass uses the same form;
+  * column sums are conserved (P doubly stochastic), so the per-node
+    row-sums S_E[n] needed later are the (already computed) pre-apply
+    sums — free;
+  * the rate-matrix apply disappears: with Q = (4/3)(J/4 - I),
+      num_k = u_k . (r_k Q E_k) = r_k [ (1/3) S_u,k S_E,k - (4/3) d_k ],
+    where d_k = u_k . E_k is the per-category denominator term — the
+    edge-gradient needs only row sums and the u.E product, no Q apply;
+  * the root contraction is (1/4) sum_k props_k S_E,k[root];
+  * no 4x4 transition matrices are built at all — the caller passes the
+    scalar e per (node, category), computed in f64 (BASELINE.md
+    precision policy), killing the P-construction einsum from the
+    pipeline.
+
+Rescaling uses row sums (any positive per-(tree,pattern) factor is a
+valid scale; sums come free here) instead of the generic kernel's max.
+
+Works for JC69 x {constant, Weibull+K} x any rootedness; GTR uses the
+generic kernel. Semantics parity: ops/pruning.py's
+log_likelihood_and_branch_gradient (same values to f32 tolerance).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pruning_pallas import _auto_tile, pad_patterns
+
+
+def _kernel(
+    sched_ref,  # SMEM (1, S, 3) int32
+    ea_ref,  # SMEM (1, 1, N1*K) f32: e = exp(-4 b r / 3) per node*K + k
+    rates_ref,  # SMEM (1, K): category rates
+    props_ref,  # SMEM (1, K): category proportions
+    tips_ref,  # VMEM (L, 4, PT)
+    w_ref,  # VMEM (1, PT)
+    ll_ref,  # out VMEM (1, 1, 1, 1)
+    grad_ref,  # out VMEM (1, 1, N1, 1)
+    E,  # scratch VMEM (N1, 4K, PT): evolved partials
+    ES,  # scratch VMEM (N1, K, PT): per-category row sums of E
+    U,  # scratch VMEM (N1, 4K, PT): upper partials (props folded)
+    G,  # scratch VMEM (N1, 1, PT): per-edge weighted gradient rows
+    *,
+    leaf_count: int,
+    root_id: int,
+    K: int,
+):
+    L = leaf_count
+    ones_slot = root_id + 1
+    n_steps = root_id + 1 - L
+    PT = w_ref.shape[1]
+    R = 4 * K
+    dt = jnp.float32
+    tiny = jnp.asarray(1e-30, dt)
+    quarter = jnp.asarray(0.25, dt)
+
+    def ea(node, k):
+        return ea_ref[0, 0, node * K + k]  # scalar
+
+    def read(ref, node):
+        return ref[pl.ds(node, 1), :, :][0]  # (R, PT)
+
+    def write(ref, node, val):
+        ref[pl.ds(node, 1), :, :] = val[None]
+
+    def rowsum4(slab, k):
+        return jnp.sum(slab[4 * k : 4 * k + 4, :], axis=0, keepdims=True)
+
+    def apply_node(node, slab, rsums):
+        """P_node(slab) per category; rsums: list of K (1, PT) row sums."""
+        outs = []
+        for k in range(K):
+            e = ea(node, k)
+            outs.append(
+                e * slab[4 * k : 4 * k + 4, :]
+                + ((1.0 - e) * quarter) * rsums[k]
+            )
+        return outs[0] if K == 1 else jnp.concatenate(outs, axis=0)
+
+    # -- init: ones slot (inert padding child); its row sums are 4.
+    write(E, ones_slot, jnp.ones((R, PT), dt))
+    ES[pl.ds(ones_slot, 1), :, :] = jnp.full((1, K, PT), 4.0, dt)
+
+    # -- leaves: E[l] = P_l tip; pre-apply sum = post-apply sum.
+    def leaf_body(l, c):
+        tip4 = tips_ref[pl.ds(l, 1), :, :][0]  # (4, PT)
+        rt = jnp.sum(tip4, axis=0, keepdims=True)  # (1, PT)
+        tip = tip4 if K == 1 else jnp.concatenate([tip4] * K, axis=0)
+        write(E, l, apply_node(l, tip, [rt] * K))
+        ES[pl.ds(l, 1), :, :] = (
+            rt[None] if K == 1 else jnp.concatenate([rt] * K, axis=0)[None]
+        )
+        return c
+
+    jax.lax.fori_loop(0, L, leaf_body, 0)
+
+    # -- forward combine steps: node L + s.
+    def fwd_body(s, logscale):
+        k0 = sched_ref[0, s, 0]
+        k1 = sched_ref[0, s, 1]
+        k2 = sched_ref[0, s, 2]
+        prod = read(E, k0) * read(E, k1) * read(E, k2)  # (R, PT)
+        rsums = [rowsum4(prod, k) for k in range(K)]
+        scale = rsums[0] if K == 1 else functools.reduce(jnp.add, rsums)
+        scale = jnp.where(scale > 0, scale, jnp.ones_like(scale))
+        inv = 1.0 / scale
+        prod = prod * inv
+        rsums = [r * inv for r in rsums]
+        node = L + s
+        write(E, node, apply_node(node, prod, rsums))
+        ES[pl.ds(node, 1), :, :] = (
+            rsums[0][None]
+            if K == 1
+            else jnp.concatenate(rsums, axis=0)[None]
+        )
+        return logscale + jnp.log(scale)
+
+    logscale = jax.lax.fori_loop(
+        0, n_steps, fwd_body, jnp.zeros((1, PT), dt)
+    )
+
+    # -- root log-likelihood: site = (1/4) sum_k props_k S_E,k[root].
+    es_root = ES[pl.ds(root_id, 1), :, :][0]  # (K, PT)
+    site = jnp.zeros((1, PT), dt)
+    for k in range(K):
+        site = site + (props_ref[0, k] * quarter) * es_root[k : k + 1, :]
+    site = jnp.maximum(site, tiny)
+    ll_ref[0, 0, :, :] = jnp.sum(
+        w_ref[:] * (jnp.log(site) + logscale), axis=1, keepdims=True
+    )
+
+    # -- upward pass + fused edge derivatives (props folded into U).
+    freq_rows = jnp.concatenate(
+        [
+            jnp.full((4, PT), props_ref[0, k] * quarter, dt)
+            for k in range(K)
+        ],
+        axis=0,
+    ) if K > 1 else jnp.full((4, PT), props_ref[0, 0] * quarter, dt)
+    write(U, root_id, freq_rows)
+
+    third = jnp.asarray(1.0 / 3.0, dt)
+    four_thirds = jnp.asarray(4.0 / 3.0, dt)
+
+    def up_body(t, c):
+        node = root_id - t
+        s = node - L
+        un = read(U, node)
+        ev_up = apply_node(
+            node, un, [rowsum4(un, k) for k in range(K)]
+        )  # P^T = P for JC69
+        k0 = sched_ref[0, s, 0]
+        k1 = sched_ref[0, s, 1]
+        k2 = sched_ref[0, s, 2]
+        e0 = read(E, k0)
+        e1 = read(E, k1)
+        e2 = read(E, k2)
+        m01 = e0 * e1
+        m02 = e0 * e2
+        m12 = e1 * e2
+        for kid, mab, ekid in ((k0, m12, e0), (k1, m02, e1), (k2, m01, e2)):
+            u = ev_up * mab  # (R, PT); scales cancel in the ratio
+            ue = u * ekid
+            se = ES[pl.ds(kid, 1), :, :][0]  # (K, PT)
+            num = jnp.zeros((1, PT), dt)
+            denom = jnp.zeros((1, PT), dt)
+            for k in range(K):
+                d_k = rowsum4(ue, k)
+                su_k = rowsum4(u, k)
+                num = num + rates_ref[0, k] * (
+                    third * (su_k * se[k : k + 1, :]) - four_thirds * d_k
+                )
+                denom = denom + d_k
+            G[pl.ds(kid, 1), :, :] = (
+                w_ref[:] * num / jnp.maximum(denom, tiny)
+            )[None]
+            sc = jnp.sum(u, axis=0, keepdims=True)
+            sc = jnp.where(sc > 0, sc, jnp.ones_like(sc))
+            write(U, kid, u / sc)
+        return c
+
+    jax.lax.fori_loop(0, n_steps, up_body, 0)
+
+    grad_ref[0, 0, :, :] = jnp.sum(G[:], axis=2)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("leaf_count", "root_id", "tile", "interpret")
+)
+def _pallas_jc_ll_grad(
+    post_children, ea, rates, props, tips, weights, *, leaf_count, root_id,
+    tile, interpret,
+):
+    """ea: (B, N1*K) f32; tips: (L, 4, PT); weights: (1, PT).
+    Returns (ll (B,), grad (B, N1))."""
+    B, S, _ = post_children.shape
+    NK = ea.shape[2]
+    K = rates.shape[1]
+    N1 = NK // K
+    PT = weights.shape[1]
+    T = PT // tile
+    L = leaf_count
+
+    kernel = functools.partial(_kernel, leaf_count=L, root_id=root_id, K=K)
+    ctx = jax.enable_x64(False)
+    with ctx:
+        ll, grad = pl.pallas_call(
+            kernel,
+            grid=(B, T),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, S, 3), lambda b, t: (b, 0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, NK), lambda b, t: (b, 0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec(
+                    (1, K), lambda b, t: (0, 0), memory_space=pltpu.SMEM
+                ),
+                pl.BlockSpec(
+                    (1, K), lambda b, t: (0, 0), memory_space=pltpu.SMEM
+                ),
+                pl.BlockSpec(
+                    (L, 4, tile), lambda b, t: (0, 0, t),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, tile), lambda b, t: (0, t), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (1, 1, 1, 1), lambda b, t: (b, t, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, N1, 1), lambda b, t: (b, t, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, T, 1, 1), jnp.float32),
+                jax.ShapeDtypeStruct((B, T, N1, 1), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((N1, 4 * K, tile), jnp.float32),
+                pltpu.VMEM((N1, K, tile), jnp.float32),
+                pltpu.VMEM((N1, 4 * K, tile), jnp.float32),
+                pltpu.VMEM((N1, 1, tile), jnp.float32),
+            ],
+            interpret=interpret,
+        )(post_children, ea, rates, props, tips, weights)
+    return ll[:, :, 0, 0].sum(axis=1), grad[:, :, :, 0].sum(axis=1)
+
+
+def exp_factors(bl_padded, rates):
+    """e = exp(-4 b r / 3) per (tree, node, category), exp in f64
+    (BASELINE.md precision policy). bl_padded: (B, N+1); rates: (K,).
+    Returns (B, (N+1)*K) f32."""
+    t = (
+        jnp.asarray(bl_padded, jnp.float64)[:, :, None]
+        * jnp.asarray(rates, jnp.float64)[None, None, :]
+    )
+    e = jnp.exp(-4.0 / 3.0 * t).astype(jnp.float32)
+    return e.reshape(e.shape[0], -1)
+
+
+def log_likelihood_and_branch_gradient_pallas_jc69(
+    post_children, bl_padded, tips, weights, *, root_id, rates=None,
+    props=None, interpret=False, tile=None,
+):
+    """JC69 drop-in for log_likelihood_and_branch_gradient_pallas: takes
+    branch lengths directly (no transition matrices anywhere).
+
+    post_children: (B, S, 3) int32; bl_padded: (B, N+1) with the ones-slot
+    zero appended (root slot 0 for unrooted trees); tips: (L, 4, Pp);
+    rates/props: (K,) Weibull category rates/proportions (default
+    constant-rate). Returns (ll (B,), grad (B, root_id))."""
+    if rates is None:
+        rates = jnp.ones((1,), jnp.float32)
+    if props is None:
+        K0 = rates.shape[0]
+        props = jnp.full((K0,), 1.0 / K0, jnp.float32)
+    rates = jnp.asarray(rates, jnp.float32)
+    props = jnp.asarray(props, jnp.float32)
+    K = rates.shape[0]
+    leaf_count = tips.shape[0]
+    tips_p, w_p = pad_patterns(tips, weights)
+    N1 = bl_padded.shape[1]
+    if tile is None:
+        tile = _auto_tile(N1, K, leaf_count, w_p.shape[0], 4)
+    ea = exp_factors(bl_padded, rates)[:, None, :]
+    ll, grad = _pallas_jc_ll_grad(
+        jnp.asarray(post_children, jnp.int32),
+        ea,
+        rates[None, :],
+        props[None, :],
+        jnp.asarray(tips_p, jnp.float32),
+        jnp.asarray(w_p, jnp.float32)[None, :],
+        leaf_count=leaf_count,
+        root_id=root_id,
+        tile=tile,
+        interpret=interpret,
+    )
+    return ll, grad[:, :root_id]

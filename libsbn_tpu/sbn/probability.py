@@ -89,7 +89,15 @@ def _em_step(params, reps, counts, log_m_tilde_alpha, m_tilde_pos, segment_ids,
     new = probability_normalize_in_log(new, segment_ids, num_segments)
     if alpha_positive:
         score = score + jnp.sum(m_tilde_pos * new)
-    return new, score
+    # Underflow telemetry (the reference traps FE exceptions per rooting,
+    # clamps to DOUBLE_MINIMUM and reports: sbn_probability.cpp:278-281,
+    # numerical_utils.hpp:65-75). The log-space equivalent worth flagging
+    # is an E-step weight that underflows to exactly 0 for an in-support
+    # rooting — its contribution is silently dropped from the M-step.
+    underflowed = jnp.sum(
+        jnp.logical_and(jnp.isfinite(logq), w <= 0.0), dtype=jnp.int32
+    )
+    return new, score, underflowed
 
 
 def expectation_maximization(
@@ -128,9 +136,20 @@ def expectation_maximization(
     )
 
     score_history = []
+    total_underflows = 0
     for em_idx in range(max_iter):
-        params, score = step(params)
+        params, score, underflowed = step(params)
         score = float(score)
+        total_underflows += int(underflowed)
+        if not np.isfinite(score):
+            import warnings
+
+            warnings.warn(
+                f"EM iteration {em_idx}: non-finite score {score} "
+                "(ReportFloatingPointEnvironmentExceptions analog)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         score_history.append(score)
         if em_idx > 0:
             prev = score_history[-2]
@@ -140,6 +159,17 @@ def expectation_maximization(
             assert scaled > -1e-10, "EM score function decreased."
             if abs(scaled) < score_epsilon:
                 break
+    if total_underflows:
+        import warnings
+
+        warnings.warn(
+            f"EM: {total_underflows} in-support rooting weights underflowed "
+            "to 0 across iterations; their M-step contributions were "
+            "dropped (reference clamps these to DOUBLE_MINIMUM and "
+            "reports the FE exception, sbn_probability.cpp:278-281)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return params, np.asarray(score_history)
 
 

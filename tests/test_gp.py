@@ -387,3 +387,41 @@ def test_streamed_ascent_matches_fused():
     assert abs(m0 - m2) < 1e-9
     np.testing.assert_allclose(bl1, bl0, rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(bl2, bl0, rtol=1e-10, atol=1e-12)
+
+
+def test_dot_export_byte_golden():
+    """Byte-parity DOT export (subsplit_dag.cpp:77-119): exact traversal
+    order (per rootsplit: BeforeNode, rotated=false clade before
+    rotated=true, recurse unvisited non-leaf children before VisitEdge),
+    leaf labels re-emitted on EVERY edge visit (the reference's quirk),
+    record labels, dark23 colorscheme, lone closing brace."""
+    from libsbn_tpu.gp.instance import dag_to_dot
+
+    inst = make_instance("hello.fasta", "hello_rooted.nwk")
+    expected = (
+        "digraph g {\n"
+        "node [shape=record];\n"
+        "edge [colorscheme=dark23];\n"
+        '4 [label="<f0>1,2|<f1>4|<f2>0"]\n'
+        '0 [label="<f1>0"]\n'
+        '"4":f2->"0":f1 [label="2", color=3, fontcolor=3]\n'
+        '3 [label="<f0>1|<f1>3|<f2>2"]\n'
+        '2 [label="<f1>2"]\n'
+        '"3":f2->"2":f1 [label="4", color=3, fontcolor=3]\n'
+        '1 [label="<f1>1"]\n'
+        '"3":f0->"1":f1 [label="3", color=1, fontcolor=1]\n'
+        '"4":f0->"3":f1 [label="1", color=1, fontcolor=1]\n'
+        "}"
+    )
+    assert dag_to_dot(inst.dag, True) == expected
+
+    # Multi-rootsplit DAG, with and without index labels; note leaf 1 and
+    # leaf 0 re-emitted under the second rootsplit (reference behavior).
+    inst2 = make_instance("hello.fasta", "hello_rooted_two_trees.nwk")
+    out = dag_to_dot(inst2.dag, False)
+    assert out.startswith(
+        "digraph g {\nnode [shape=record];\nedge [colorscheme=dark23];\n"
+    )
+    assert out.endswith('"6":f0->"2":f1\n}')
+    assert out.count('1 [label="<f1>1"]\n') == 2  # re-emission quirk
+    assert '4 [label="<f0>1,2|<f1>|<f2>0"]\n' in out

@@ -123,3 +123,32 @@ def test_branch_gradient_matches_ad(ds1):
 
     ad_grad = jax.grad(f)(jnp.asarray(bl[0]))
     np.testing.assert_allclose(grads[0], ad_grad[:-1], rtol=1e-8, atol=1e-8)
+
+
+def test_tip_states_mode_matches_tip_partials(ds1):
+    """use_tip_states (fat_beagle.cpp:207-256): 1-byte tip codes expanded
+    on the fly give bit-identical LLs and gradients to dense tip
+    partials (the reference asserts both modes against the same goldens,
+    unrooted_sbn_instance.hpp:225-232)."""
+    sched, bls, sp = ds1
+    import numpy as np
+
+    from libsbn_tpu.models.engine import LikelihoodEngine
+    from libsbn_tpu.models.phylo_model import (
+        PhyloModelSpec, default_parameters,
+    )
+
+    spec = PhyloModelSpec("JC69", "constant", "strict")
+    dense = LikelihoodEngine(sp, spec)
+    states = LikelihoodEngine(sp, spec, use_tip_states=True)
+    params = default_parameters(spec)
+    bl = np.stack(bls)
+    ll_d = np.asarray(dense.log_likelihoods(sched, bl, params))
+    ll_s = np.asarray(states.log_likelihoods(sched, bl, params))
+    np.testing.assert_array_equal(ll_d, ll_s)
+    _, g_d = dense.branch_gradients(sched, bl, params)
+    _, g_s = states.branch_gradients(sched, bl, params)
+    np.testing.assert_array_equal(np.asarray(g_d), np.asarray(g_s))
+    # The resident representation really is codes, not partials.
+    assert states._tips is None
+    assert states._tip_codes.dtype == np.int32

@@ -154,18 +154,28 @@ class LikelihoodEngine:
     # -- unrooted/plain likelihoods ----------------------------------------
     def _pallas_ll_batch(self, root_id):
         """Jitted (post_children, bl_padded (B, N+1), params) -> (B,) lls on
-        the Pallas VJP kernel — differentiable in params through the dP
-        cotangent (pruning_pallas_vjp)."""
-        from ..ops import pruning_pallas, pruning_pallas_vjp
+        the Pallas VJP kernels — differentiable in params. JC69 routes
+        through the matrix-free dea kernel (pruning_pallas_jc); GTR
+        through the dP-cotangent kernel (pruning_pallas_vjp)."""
+        from ..ops import pruning_pallas, pruning_pallas_jc, pruning_pallas_vjp
 
         def build():
             def fn(post_children, bl_padded, params):
                 mt = self._model_tensors(params)
-                freqs, props = mt[0], mt[5]
-                P = self._node_P(mt, bl_padded)
+                freqs, rates, props = mt[0], mt[4], mt[5]
                 tips_p, w_p = pruning_pallas.pad_patterns(
                     self.tips, self.weights
                 )
+                if self.spec.substitution == "JC69" and self.dtype == jnp.float32:
+                    # Matrix-free f32 kernel; f64 parity runs keep the
+                    # generic dP-cotangent kernel.
+                    return pruning_pallas_jc.log_likelihoods_pallas_jc69(
+                        post_children, bl_padded, tips_p, w_p,
+                        leaf_count=self.tips.shape[0], root_id=root_id,
+                        rates=rates, props=props,
+                        interpret=self.pallas_interpret,
+                    )
+                P = self._node_P(mt, bl_padded)
                 return pruning_pallas_vjp.log_likelihoods_pallas(
                     post_children, P, freqs, props, tips_p, w_p,
                     self.tips.shape[0], root_id, self.pallas_interpret,
@@ -220,8 +230,11 @@ class LikelihoodEngine:
                 def fn(post_children, bl, params):
                     mt = self._model_tensors(params)
                     freqs, rates, props, Q = mt[0], mt[4], mt[5], mt[6]
-                    if self.spec.substitution == "JC69":
-                        # Matrix-free JC69 kernel: P = eI + (1-e)/4 J in
+                    if (
+                        self.spec.substitution == "JC69"
+                        and self.dtype == jnp.float32
+                    ):
+                        # Matrix-free f32 JC69 kernel: P = eI + (1-e)/4 J in
                         # closed form (ops/pruning_pallas_jc.py).
                         from ..ops import pruning_pallas_jc as jc
 

@@ -124,10 +124,11 @@ def _kernel(
         scale = rsums[0] if K == 1 else functools.reduce(jnp.add, rsums)
         scale = jnp.where(scale > 0, scale, jnp.ones_like(scale))
         inv = 1.0 / scale
-        prod = prod * inv
-        rsums = [r * inv for r in rsums]
         node = L + s
-        write(E, node, apply_node(node, prod, rsums))
+        # Apply on the unscaled product, then scale once on the way out
+        # (P is linear, so P(prod) * inv == P(prod * inv)).
+        write(E, node, apply_node(node, prod, rsums) * inv)
+        rsums = [r * inv for r in rsums]
         ES[pl.ds(node, 1), :, :] = (
             rsums[0][None]
             if K == 1
@@ -178,24 +179,26 @@ def _kernel(
         m01 = e0 * e1
         m02 = e0 * e2
         m12 = e1 * e2
-        for kid, mab, ekid in ((k0, m12, e0), (k1, m02, e1), (k2, m01, e2)):
+        # Shared denominators: u_c * E_c = ev_up * e0 * e1 * e2 =: T for
+        # every kid c, so one T and its per-category row sums d_k serve
+        # all three edges (the generic kernel computes them 3x).
+        T = ev_up * (m01 * e2)
+        d = [rowsum4(T, k) for k in range(K)]
+        denom = d[0] if K == 1 else functools.reduce(jnp.add, d)
+        winv = w_ref[:] / jnp.maximum(denom, tiny)
+        for kid, mab in ((k0, m12), (k1, m02), (k2, m01)):
             u = ev_up * mab  # (R, PT); scales cancel in the ratio
-            ue = u * ekid
             se = ES[pl.ds(kid, 1), :, :][0]  # (K, PT)
             num = jnp.zeros((1, PT), dt)
-            denom = jnp.zeros((1, PT), dt)
+            su = None
             for k in range(K):
-                d_k = rowsum4(ue, k)
                 su_k = rowsum4(u, k)
+                su = su_k if su is None else su + su_k
                 num = num + rates_ref[0, k] * (
-                    third * (su_k * se[k : k + 1, :]) - four_thirds * d_k
+                    third * (su_k * se[k : k + 1, :]) - four_thirds * d[k]
                 )
-                denom = denom + d_k
-            G[pl.ds(kid, 1), :, :] = (
-                w_ref[:] * num / jnp.maximum(denom, tiny)
-            )[None]
-            sc = jnp.sum(u, axis=0, keepdims=True)
-            sc = jnp.where(sc > 0, sc, jnp.ones_like(sc))
+            G[pl.ds(kid, 1), :, :] = (winv * num)[None]
+            sc = jnp.where(su > 0, su, jnp.ones_like(su))
             write(U, kid, u / sc)
         return c
 
@@ -325,3 +328,409 @@ def log_likelihood_and_branch_gradient_pallas_jc69(
         interpret=interpret,
     )
     return ll, grad[:, :root_id]
+
+
+# -- LL-only forward + d(ll)/d(ea) backward (custom VJP) ---------------------
+# The JC69 analog of pruning_pallas_vjp: the backward kernel emits the
+# cotangent of the per-(node, category) exponential factors e = exp(-4br/3)
+# instead of full 4x4 dP blocks — with P = eI + (1-e)/4 J,
+#   d ll / d e_{n,k} = sum_p [ (uw . M)_k - (1/4) rowsum4(uw)_k S_M,k ],
+# (uw = u w / denom, M the pre-apply partials, S_M their row sums, which
+# equal the stored S_E by double stochasticity). Branch-length, clock-rate,
+# height-ratio and Weibull-shape gradients then chain through
+# exp_factors/props by ordinary AD outside the kernel.
+
+
+def _fwd_ll_kernel(
+    sched_ref, ea_ref, props_ref, tips_ref, w_ref, ll_ref, E, ES,
+    *, leaf_count: int, root_id: int, K: int,
+):
+    L = leaf_count
+    ones_slot = root_id + 1
+    n_steps = root_id + 1 - L
+    PT = w_ref.shape[1]
+    R = 4 * K
+    dt = jnp.float32
+    tiny = jnp.asarray(1e-30, dt)
+    quarter = jnp.asarray(0.25, dt)
+
+    def ea(node, k):
+        return ea_ref[0, 0, node * K + k]
+
+    def write(ref, node, val):
+        ref[pl.ds(node, 1), :, :] = val[None]
+
+    def read(ref, node):
+        return ref[pl.ds(node, 1), :, :][0]
+
+    def rowsum4(slab, k):
+        return jnp.sum(slab[4 * k : 4 * k + 4, :], axis=0, keepdims=True)
+
+    def apply_node(node, slab, rsums):
+        outs = []
+        for k in range(K):
+            e = ea(node, k)
+            outs.append(
+                e * slab[4 * k : 4 * k + 4, :]
+                + ((1.0 - e) * quarter) * rsums[k]
+            )
+        return outs[0] if K == 1 else jnp.concatenate(outs, axis=0)
+
+    write(E, ones_slot, jnp.ones((R, PT), dt))
+
+    def leaf_body(l, c):
+        tip4 = tips_ref[pl.ds(l, 1), :, :][0]
+        rt = jnp.sum(tip4, axis=0, keepdims=True)
+        tip = tip4 if K == 1 else jnp.concatenate([tip4] * K, axis=0)
+        write(E, l, apply_node(l, tip, [rt] * K))
+        return c
+
+    jax.lax.fori_loop(0, L, leaf_body, 0)
+
+    def fwd_body(s, logscale):
+        k0 = sched_ref[0, s, 0]
+        k1 = sched_ref[0, s, 1]
+        k2 = sched_ref[0, s, 2]
+        prod = read(E, k0) * read(E, k1) * read(E, k2)
+        rsums = [rowsum4(prod, k) for k in range(K)]
+        scale = rsums[0] if K == 1 else functools.reduce(jnp.add, rsums)
+        scale = jnp.where(scale > 0, scale, jnp.ones_like(scale))
+        inv = 1.0 / scale
+        node = L + s
+        write(E, node, apply_node(node, prod, rsums) * inv)
+        ES[pl.ds(node, 1), :, :] = (
+            (rsums[0] * inv)[None]
+            if K == 1
+            else jnp.concatenate([r * inv for r in rsums], axis=0)[None]
+        )
+        return logscale + jnp.log(scale)
+
+    logscale = jax.lax.fori_loop(0, n_steps, fwd_body, jnp.zeros((1, PT), dt))
+
+    es_root = ES[pl.ds(root_id, 1), :, :][0]
+    site = jnp.zeros((1, PT), dt)
+    for k in range(K):
+        site = site + (props_ref[0, k] * quarter) * es_root[k : k + 1, :]
+    site = jnp.maximum(site, tiny)
+    ll_ref[0, 0, :, :] = jnp.sum(
+        w_ref[:] * (jnp.log(site) + logscale), axis=1, keepdims=True
+    )
+
+
+def _bwd_dea_kernel(
+    sched_ref, ea_ref, props_ref, tips_ref, w_ref,
+    dea_ref,  # out (1, 1, N1*K, 1)
+    dprops_ref,  # out (1, 1, K, 1)
+    M, E, ES, U,
+    *, leaf_count: int, root_id: int, K: int,
+):
+    L = leaf_count
+    ones_slot = root_id + 1
+    n_steps = root_id + 1 - L
+    PT = w_ref.shape[1]
+    R = 4 * K
+    dt = jnp.float32
+    tiny = jnp.asarray(1e-30, dt)
+    quarter = jnp.asarray(0.25, dt)
+
+    def ea(node, k):
+        return ea_ref[0, 0, node * K + k]
+
+    def write(ref, node, val):
+        ref[pl.ds(node, 1), :, :] = val[None]
+
+    def read(ref, node):
+        return ref[pl.ds(node, 1), :, :][0]
+
+    def rowsum4(slab, k):
+        return jnp.sum(slab[4 * k : 4 * k + 4, :], axis=0, keepdims=True)
+
+    def apply_node(node, slab, rsums):
+        outs = []
+        for k in range(K):
+            e = ea(node, k)
+            outs.append(
+                e * slab[4 * k : 4 * k + 4, :]
+                + ((1.0 - e) * quarter) * rsums[k]
+            )
+        return outs[0] if K == 1 else jnp.concatenate(outs, axis=0)
+
+    # Forward recompute in M-form (residuals would be huge; remat).
+    ones_slab = jnp.ones((R, PT), dt)
+    write(M, ones_slot, ones_slab)
+    write(E, ones_slot, ones_slab)
+    ES[pl.ds(ones_slot, 1), :, :] = jnp.full((1, K, PT), 4.0, dt)
+
+    def leaf_body(l, c):
+        tip4 = tips_ref[pl.ds(l, 1), :, :][0]
+        rt = jnp.sum(tip4, axis=0, keepdims=True)
+        tip = tip4 if K == 1 else jnp.concatenate([tip4] * K, axis=0)
+        write(M, l, tip)
+        write(E, l, apply_node(l, tip, [rt] * K))
+        ES[pl.ds(l, 1), :, :] = (
+            rt[None] if K == 1 else jnp.concatenate([rt] * K, axis=0)[None]
+        )
+        return c
+
+    jax.lax.fori_loop(0, L, leaf_body, 0)
+
+    def fwd_body(s, c):
+        k0 = sched_ref[0, s, 0]
+        k1 = sched_ref[0, s, 1]
+        k2 = sched_ref[0, s, 2]
+        prod = read(E, k0) * read(E, k1) * read(E, k2)
+        rsums = [rowsum4(prod, k) for k in range(K)]
+        scale = rsums[0] if K == 1 else functools.reduce(jnp.add, rsums)
+        scale = jnp.where(scale > 0, scale, jnp.ones_like(scale))
+        inv = 1.0 / scale
+        node = L + s
+        write(M, node, prod * inv)
+        write(E, node, apply_node(node, prod, rsums) * inv)
+        rs = [r * inv for r in rsums]
+        ES[pl.ds(node, 1), :, :] = (
+            rs[0][None] if K == 1 else jnp.concatenate(rs, axis=0)[None]
+        )
+        return c
+
+    jax.lax.fori_loop(0, n_steps, fwd_body, 0)
+
+    # dprops from the root: dprops_k = sum_p (w/site) (1/4) S_M,k[root].
+    es_root = ES[pl.ds(root_id, 1), :, :][0]  # (K, PT)
+    site = jnp.zeros((1, PT), dt)
+    for k in range(K):
+        site = site + (props_ref[0, k] * quarter) * es_root[k : k + 1, :]
+    w_over_site = w_ref[:] / jnp.maximum(site, tiny)
+    dpr = [
+        jnp.sum(quarter * es_root[k : k + 1, :] * w_over_site, axis=1,
+                keepdims=True)
+        for k in range(K)
+    ]
+    dprops_ref[0, 0, :, :] = (
+        dpr[0] if K == 1 else jnp.concatenate(dpr, axis=0)
+    )
+
+    # Upper pass, emitting dea per edge as it forms.
+    freq_rows = (
+        jnp.concatenate(
+            [jnp.full((4, PT), props_ref[0, k] * quarter, dt) for k in range(K)],
+            axis=0,
+        )
+        if K > 1
+        else jnp.full((4, PT), props_ref[0, 0] * quarter, dt)
+    )
+    write(U, root_id, freq_rows)
+
+    def up_body(t, c):
+        node = root_id - t
+        s = node - L
+        un = read(U, node)
+        ev_up = apply_node(node, un, [rowsum4(un, k) for k in range(K)])
+        k0 = sched_ref[0, s, 0]
+        k1 = sched_ref[0, s, 1]
+        k2 = sched_ref[0, s, 2]
+        e0 = read(E, k0)
+        e1 = read(E, k1)
+        e2 = read(E, k2)
+        m01 = e0 * e1
+        m02 = e0 * e2
+        m12 = e1 * e2
+        T = ev_up * (m01 * e2)
+        d = [rowsum4(T, k) for k in range(K)]
+        denom = d[0] if K == 1 else functools.reduce(jnp.add, d)
+        winv = w_ref[:] / jnp.maximum(denom, tiny)
+        for kid, mab in ((k0, m12), (k1, m02), (k2, m01)):
+            u = ev_up * mab
+            uw = u * winv
+            mkid = read(M, kid)
+            um = uw * mkid
+            es = ES[pl.ds(kid, 1), :, :][0]  # (K, PT) = S_M by conservation
+            des = []
+            su_total = None
+            for k in range(K):
+                suw = rowsum4(uw, k)
+                su_k = rowsum4(u, k)
+                su_total = su_k if su_total is None else su_total + su_k
+                val = rowsum4(um, k) - quarter * (suw * es[k : k + 1, :])
+                des.append(jnp.sum(val, axis=1, keepdims=True))  # (1,1)
+            dea_ref[0, 0, pl.ds(kid * K, K), :] = (
+                des[0] if K == 1 else jnp.concatenate(des, axis=0)
+            )
+            sc = jnp.where(su_total > 0, su_total, jnp.ones_like(su_total))
+            write(U, kid, u / sc)
+        return c
+
+    jax.lax.fori_loop(0, n_steps, up_body, 0)
+
+    # Root and ones-slot rows are not parameters.
+    zero = jnp.zeros((K, 1), dt)
+    dea_ref[0, 0, pl.ds(root_id * K, K), :] = zero
+    dea_ref[0, 0, pl.ds(ones_slot * K, K), :] = zero
+
+
+def _jc_specs(B, S, NK, L, K, tile):
+    return [
+        pl.BlockSpec((1, S, 3), lambda b, t: (b, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, NK), lambda b, t: (b, 0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, K), lambda b, t: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(
+            (L, 4, tile), lambda b, t: (0, 0, t), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec((1, tile), lambda b, t: (0, t), memory_space=pltpu.VMEM),
+    ]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("leaf_count", "root_id", "tile", "interpret")
+)
+def _fwd_ll_call(post_children, ea, props, tips, weights, *, leaf_count,
+                 root_id, tile, interpret):
+    B, S, _ = post_children.shape
+    NK = ea.shape[2]
+    K = props.shape[1]
+    N1 = NK // K
+    PT = weights.shape[1]
+    T = PT // tile
+    L = leaf_count
+    kernel = functools.partial(
+        _fwd_ll_kernel, leaf_count=L, root_id=root_id, K=K
+    )
+    with jax.enable_x64(False):
+        (ll,) = pl.pallas_call(
+            kernel,
+            grid=(B, T),
+            in_specs=_jc_specs(B, S, NK, L, K, tile),
+            out_specs=[
+                pl.BlockSpec(
+                    (1, 1, 1, 1), lambda b, t: (b, t, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_shape=[jax.ShapeDtypeStruct((B, T, 1, 1), jnp.float32)],
+            scratch_shapes=[
+                pltpu.VMEM((N1, 4 * K, tile), jnp.float32),
+                pltpu.VMEM((N1, K, tile), jnp.float32),
+            ],
+            interpret=interpret,
+        )(post_children, ea, props, tips, weights)
+    return ll[:, :, 0, 0].sum(axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("leaf_count", "root_id", "tile", "interpret")
+)
+def _bwd_dea_call(post_children, ea, props, tips, weights, *, leaf_count,
+                  root_id, tile, interpret):
+    B, S, _ = post_children.shape
+    NK = ea.shape[2]
+    K = props.shape[1]
+    N1 = NK // K
+    PT = weights.shape[1]
+    T = PT // tile
+    L = leaf_count
+    kernel = functools.partial(
+        _bwd_dea_kernel, leaf_count=L, root_id=root_id, K=K
+    )
+    with jax.enable_x64(False):
+        dea, dprops = pl.pallas_call(
+            kernel,
+            grid=(B, T),
+            in_specs=_jc_specs(B, S, NK, L, K, tile),
+            out_specs=[
+                pl.BlockSpec(
+                    (1, 1, NK, 1), lambda b, t: (b, t, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, K, 1), lambda b, t: (b, t, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, T, NK, 1), jnp.float32),
+                jax.ShapeDtypeStruct((B, T, K, 1), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((N1, 4 * K, tile), jnp.float32),
+                pltpu.VMEM((N1, 4 * K, tile), jnp.float32),
+                pltpu.VMEM((N1, K, tile), jnp.float32),
+                pltpu.VMEM((N1, 4 * K, tile), jnp.float32),
+            ],
+            interpret=interpret,
+        )(post_children, ea, props, tips, weights)
+    return dea[..., 0].sum(axis=1), dprops[..., 0].sum(axis=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _ll_jc(post_children, ea, props, data, leaf_count, root_id, tile,
+           interpret):
+    """(B,) log likelihoods from exponential factors. ea: (B, 1, N1*K);
+    props: (1, K); data = (tips (L,4,PT), weights (1,PT)) constants."""
+    tips, weights = data
+    return _fwd_ll_call(
+        post_children, ea, props, tips, weights, leaf_count=leaf_count,
+        root_id=root_id, tile=tile, interpret=interpret,
+    )
+
+
+def _ll_jc_fwd(post_children, ea, props, data, leaf_count, root_id, tile,
+               interpret):
+    ll = _ll_jc(
+        post_children, ea, props, data, leaf_count, root_id, tile, interpret
+    )
+    return ll, (post_children, ea, props, data)
+
+
+def _ll_jc_bwd(leaf_count, root_id, tile, interpret, res, g):
+    post_children, ea, props, data = res
+    tips, weights = data
+    dea, dprops = _bwd_dea_call(
+        post_children, ea, props, tips, weights, leaf_count=leaf_count,
+        root_id=root_id, tile=tile, interpret=interpret,
+    )
+    zero_pc = np.zeros(post_children.shape, dtype=jax.dtypes.float0)
+    return (
+        zero_pc,
+        (dea * g[:, None])[:, None, :],
+        jnp.sum(dprops * g[:, None], axis=0)[None, :].astype(props.dtype),
+        None,
+    )
+
+
+_ll_jc.defvjp(_ll_jc_fwd, _ll_jc_bwd)
+
+
+def log_likelihoods_pallas_jc69(
+    post_children, bl_padded, tips, weights, *, leaf_count, root_id,
+    rates=None, props=None, interpret=False, tile=None,
+):
+    """(B,) JC69 log likelihoods, differentiable in bl_padded, rates and
+    props by AD through exp_factors + the dea custom VJP — the matrix-free
+    replacement for pruning_pallas_vjp.log_likelihoods_pallas on JC69
+    models (rooted time trees, VI steps). tips/weights must already be
+    pattern-padded (pad_patterns)."""
+    if rates is None:
+        rates = jnp.ones((1,), jnp.float32)
+    if props is None:
+        K0 = rates.shape[0]
+        props = jnp.full((K0,), 1.0 / K0, jnp.float32)
+    rates = jnp.asarray(rates, jnp.float32)
+    props = jnp.asarray(props, jnp.float32)
+    K = rates.shape[0]
+    N1 = bl_padded.shape[1]
+    PT = weights.shape[0]
+    if tile is None:
+        tile = _auto_tile(N1, K, leaf_count, PT, 4)
+    ea = exp_factors(bl_padded, rates)[:, None, :]
+    return _ll_jc(
+        jnp.asarray(post_children, jnp.int32),
+        ea,
+        props[None, :],
+        (
+            jnp.asarray(tips, jnp.float32),
+            jnp.asarray(weights, jnp.float32)[None, :],
+        ),
+        leaf_count,
+        root_id,
+        tile,
+        interpret,
+    )

@@ -110,16 +110,15 @@ def vbpi_train_step(
     Qs = Q[None]  # (1, 4, 4) differential matrix, category rate 1
 
     if statics.use_pallas:
-        from ..ops import pruning_pallas
+        # The VBPI model is JC69 by construction (JitVBPI.__init__), so
+        # the matrix-free JC kernel applies (ops/pruning_pallas_jc.py).
+        from ..ops import pruning_pallas_jc
 
-        P_b = jax.vmap(
-            lambda bl: pruning.node_transition_matrices(
-                evec, ivec, evals, bl, rates
+        lls, bgrads = (
+            pruning_pallas_jc.log_likelihood_and_branch_gradient_pallas_jc69(
+                sched5[1], bl_padded, tips, weights,
+                root_id=statics.root_id,
             )
-        )(bl_padded)
-        lls, bgrads = pruning_pallas.log_likelihood_and_branch_gradient_pallas(
-            sched5[1], P_b, Qs, tips, freqs, weights,
-            root_id=statics.root_id,
         )
     else:
         def one(sched5_one, bl):

@@ -41,6 +41,19 @@ GOLDEN_ITERS = 70  # used only by the opt-in Pallas sweep kernel
 DEFAULT_BRANCH_LENGTH = 0.1
 
 
+def _jc69_evolve(bl, v):
+    """Matrix-free JC69 transition apply: P(bl) v = e v + (1-e)/4 sum_i v_i
+    per edge, with e = exp(-4 bl / 3) in f64 (BASELINE.md precision
+    policy). bl: (E,); v: (E, 4, S). Replaces building (E, 4, 4) matrices
+    + einsum — fewer ops, and no MXU-precision exposure on TPU."""
+    e = jnp.exp(
+        jnp.asarray(-4.0 / 3.0, jnp.float64) * bl.astype(jnp.float64)
+    ).astype(v.dtype)
+    return e[:, None, None] * v + (0.25 * (1.0 - e))[:, None, None] * jnp.sum(
+        v, axis=1, keepdims=True
+    )
+
+
 def _jc69_transition(bl):
     """(E,) branch lengths -> (E, 4, 4) JC69 transition matrices."""
     freqs, evec, ivec, evals = substitution.jc69_eigen(bl.dtype)
@@ -225,9 +238,8 @@ class GPEngine:
             """One rot-group of one rootward level: evolve children along
             their edges, align scales (dest scale = min over in-edge child
             scales) and accumulate into the parent's phat buffer."""
-            P = _jc69_transition(bl_ext[g])
-            contrib = q_ext[g][:, None, None] * jnp.einsum(
-                "eij,ejs->eis", P, p[ch]
+            contrib = q_ext[g][:, None, None] * _jc69_evolve(
+                bl_ext[g], p[ch]
             )
             oh = (pa[:, None] == iota_n[None, :]).astype(bl.dtype)  # (W, N+1)
             lsch = ls_p[ch]
@@ -309,10 +321,7 @@ class GPEngine:
             pa, ch, g, rot, nh = xs
             src = jnp.where(rot[:, None, None], rtilde[pa], r[pa])
             ls_src = jnp.where(rot, ls_rtilde[pa], ls_r[pa])
-            P = _jc69_transition(bl_ext[g])
-            contrib = q_ext[g][:, None, None] * jnp.einsum(
-                "eij,ejs->eis", P, src
-            )
+            contrib = q_ext[g][:, None, None] * _jc69_evolve(bl_ext[g], src)
             # Scatter-free (see rootward pass): one-hot accumulate + dense
             # masked finishes.
             oh = (ch[:, None] == iota_n[None, :]).astype(bl.dtype)
@@ -411,8 +420,7 @@ class GPEngine:
         rot_s = rot if plvs["ls_r"].ndim == 1 else rot[:, None]
         r_plv = jnp.where(rot[:, None, None], plvs["rtilde"][pa], plvs["r"][pa])
         ls_rsrc = jnp.where(rot_s, plvs["ls_rtilde"][pa], plvs["ls_r"][pa])
-        P = _jc69_transition(bl[g])
-        lik = jnp.einsum("eis,eij,ejs->es", r_plv, P, plvs["p"][ch])
+        lik = jnp.sum(r_plv * _jc69_evolve(bl[g], plvs["p"][ch]), axis=1)
         rows_edges = (
             jnp.log(lik) + _b(ls_rsrc) + _b(plvs["ls_p"][ch])
         )
@@ -1071,21 +1079,12 @@ class GPEngine:
                 ls_root = jnp.where(
                     rrot.astype(bool), plvs["ls_rtilde"][rn], plvs["ls_r"][rn]
                 )
-                quartet_root = jnp.einsum(
-                    "cij,cjs->cis", _jc69_transition(bl[rg]), r_plv
-                )
-                r_s = quartet_root * jnp.einsum(
-                    "cij,cjs->cis", _jc69_transition(bl[sg]), plvs["p"][sn]
-                )
-                q_s = jnp.einsum(
-                    "cij,cjs->cis", _jc69_transition(bl[cg]), r_s
-                )
-                r_sorted = q_s * jnp.einsum(
-                    "cij,cjs->cis", _jc69_transition(bl[tg]), plvs["p"][tn]
-                )
-                lik = jnp.einsum(
-                    "cis,cij,cjs->cs",
-                    r_sorted, _jc69_transition(bl[ug]), plvs["p"][un],
+                quartet_root = _jc69_evolve(bl[rg], r_plv)
+                r_s = quartet_root * _jc69_evolve(bl[sg], plvs["p"][sn])
+                q_s = _jc69_evolve(bl[cg], r_s)
+                r_sorted = q_s * _jc69_evolve(bl[tg], plvs["p"][tn])
+                lik = jnp.sum(
+                    r_sorted * _jc69_evolve(bl[ug], plvs["p"][un]), axis=1
                 )
                 # ls_* are per-PLV log-scales; the reference instead asserts
                 # zero rescaling here (gp_engine.cpp:398-400).

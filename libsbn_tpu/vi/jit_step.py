@@ -48,9 +48,9 @@ class VBPIStatics(NamedTuple):
     # lognormal parameters sum (ICLR 2019); the last q_params row is the
     # zeroed sentinel for absent components (branch_models.py PSPModel).
     psp: bool = False
-    # Run the pruning likelihood+gradient through the fused Pallas kernel
-    # (ops/pruning_pallas.py). TPU single-mesh only; the scan engine remains
-    # the portable/sharded path.
+    # Run the pruning likelihood+gradient through the fused JC69 Pallas
+    # kernel (ops/pruning_pallas_jc.py). TPU single-mesh only; the scan
+    # engine remains the portable/sharded path.
     use_pallas: bool = False
 
 
@@ -326,12 +326,19 @@ class JitVBPI:
             rescale=rescale,
             use_vimco=use_vimco,
             psp=(branch_model == "psp"),
-            # Fused Pallas pruning kernel (TPU, single mesh, f32). Off by
-            # default: at VBPI particle counts (10-50) the step is dispatch-
-            # bound and the kernel's fixed launch cost LOST to the scan
-            # engine on the tunneled chip (92.6 vs 38.9 ms/step at P=10,
-            # parity at P=50); it wins for large batches (see bench.py).
-            use_pallas=False if use_pallas is None else use_pallas,
+            # Fused JC69 Pallas kernel (TPU, single mesh, f32): measured
+            # round 3 on DS1 — ties the scan engine at P=10 (33.5 vs 33.5
+            # ms/step, both host-sampling-bound) and wins at P=50 (52.3 vs
+            # 58.1) and P=256 (139.9 vs 161.4), so it is the default on
+            # TPU when no mesh shards the batch (Pallas custom calls are
+            # per-device programs).
+            use_pallas=(
+                jax.default_backend() == "tpu"
+                and mesh is None
+                and dtype == jnp.float32
+            )
+            if use_pallas is None
+            else use_pallas,
         )
 
     def mode_match(self, split_modes):

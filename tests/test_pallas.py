@@ -293,3 +293,135 @@ def test_auto_tile_divides_and_fits():
     # Non-power-of-two pattern multiples still tile on divisors.
     t = pruning_pallas._auto_tile(600, 4, 300, 896, 4)
     assert 896 % t == 0
+
+
+def test_jc_kernel_matches_scan_engine(ds1):
+    """The matrix-free JC69 grad kernel (interpret mode, f32) reproduces
+    the scan engine and the DS1 goldens: LLs, branch gradients, Weibull."""
+    import jax.numpy as jnp
+
+    from libsbn_tpu.models.phylo_model import (
+        PhyloModelSpec, default_parameters, model_tensors,
+    )
+    from libsbn_tpu.ops import pruning_pallas_jc
+
+    sched, bl, sp = ds1
+    bl_p = np.pad(bl, ((0, 0), (0, 1))).astype(np.float32)
+    tips = sp.tip_partials(np.float32)
+    w = sp.weights.astype(np.float32)
+
+    ll, grad = pruning_pallas_jc.log_likelihood_and_branch_gradient_pallas_jc69(
+        np.asarray(sched.post_children), bl_p, tips, w,
+        root_id=sched.root_id, interpret=True,
+    )
+    gold = np.array([
+        -14582.995273982739, -6911.294207416366, -6916.880235529542,
+        -6904.016888831189, -6915.055570693576, -6915.50496696512,
+        -6910.958836661867, -6909.02639968063, -6912.967861935749,
+        -6910.7871105783515,
+    ])
+    np.testing.assert_allclose(np.asarray(ll), gold, rtol=1e-5, atol=0.5)
+
+    # Scan engine comparison on the same f32 inputs (both engines share
+    # the linear-time scheme; agreement at f32 accumulation level).
+    from libsbn_tpu.ops import pruning, substitution
+
+    freqs, evec, ivec, evals = substitution.jc69_eigen(jnp.float32)
+    Q = substitution.jc69_q(jnp.float32)
+    for i in (0, 5):
+        P = pruning.node_transition_matrices(
+            evec, ivec, evals, jnp.asarray(bl_p[i]), jnp.ones(1, jnp.float32)
+        )
+
+        class _S:
+            pass
+
+        s = _S()
+        s.root_id = sched.root_id
+        for k in ("post_node", "post_children", "up_node", "up_parent",
+                  "up_sibs"):
+            setattr(s, k, getattr(sched, k)[i])
+        ll_s, g_s = pruning.log_likelihood_and_branch_gradient(
+            s, P, Q[None], jnp.asarray(tips), freqs,
+            jnp.ones(1, jnp.float32), jnp.asarray(w), True,
+        )
+        assert abs(float(ll_s) - float(ll[i])) < 0.05
+        np.testing.assert_allclose(
+            np.asarray(grad[i]), np.asarray(g_s), rtol=1e-2, atol=0.5
+        )
+
+    # Weibull+4 categories.
+    spec = PhyloModelSpec("JC69", "weibull+4", "strict")
+    params = default_parameters(spec)
+    params["site"] = {"shape": jnp.asarray(0.1)}
+    _, _, _, _, rates, props, _ = model_tensors(spec, params)
+    llw, _ = pruning_pallas_jc.log_likelihood_and_branch_gradient_pallas_jc69(
+        np.asarray(sched.post_children), bl_p, tips, w,
+        root_id=sched.root_id, rates=np.asarray(rates, np.float32),
+        props=np.asarray(props, np.float32), interpret=True,
+    )
+    wgold = np.array([
+        -9456.1201098061, -6624.4110704332, -6623.4474776131,
+        -6617.25658038029, -6627.5385571548, -6621.6155048722,
+        -6622.3314942713, -6618.7695717585, -6616.3837517370,
+        -6623.8295828648,
+    ])
+    np.testing.assert_allclose(np.asarray(llw), wgold, rtol=1e-5, atol=0.5)
+
+
+def test_jc_vjp_kernel_ad_consistency(ds1):
+    """log_likelihoods_pallas_jc69: values match the grad kernel; AD
+    branch gradients match the fused kernel's direct gradients; Weibull
+    shape AD matches finite differences."""
+    import jax
+    import jax.numpy as jnp
+
+    from libsbn_tpu.ops import pruning_pallas, pruning_pallas_jc
+
+    sched, bl, sp = ds1
+    bl_p = np.pad(bl, ((0, 0), (0, 1))).astype(np.float32)
+    tips = sp.tip_partials(np.float32)
+    w = sp.weights.astype(np.float32)
+    tips_p, w_p = pruning_pallas.pad_patterns(tips, w)
+
+    def ll_fn(b):
+        return pruning_pallas_jc.log_likelihoods_pallas_jc69(
+            np.asarray(sched.post_children), b, tips_p, w_p,
+            leaf_count=tips.shape[0], root_id=sched.root_id, interpret=True,
+        )
+
+    ll = ll_fn(jnp.asarray(bl_p))
+    ll2, g_direct = (
+        pruning_pallas_jc.log_likelihood_and_branch_gradient_pallas_jc69(
+            np.asarray(sched.post_children), bl_p, tips, w,
+            root_id=sched.root_id, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(np.asarray(ll), np.asarray(ll2), atol=1e-2)
+    g_ad = jax.grad(lambda b: jnp.sum(ll_fn(b)))(jnp.asarray(bl_p))
+    np.testing.assert_allclose(
+        np.asarray(g_ad)[:, : sched.root_id], np.asarray(g_direct),
+        rtol=1e-3, atol=0.05,
+    )
+
+    # Weibull shape gradient by AD through exp_factors + dprops.
+    from libsbn_tpu.ops import site_model
+
+    def llw(shape):
+        rates, props = site_model.weibull_rates(shape, 4)
+        return jnp.sum(
+            pruning_pallas_jc.log_likelihoods_pallas_jc69(
+                np.asarray(sched.post_children), jnp.asarray(bl_p), tips_p,
+                w_p, leaf_count=tips.shape[0], root_id=sched.root_id,
+                rates=jnp.asarray(rates, jnp.float32),
+                props=jnp.asarray(props, jnp.float32), interpret=True,
+            )
+        )
+
+    g_shape = float(jax.grad(llw)(jnp.asarray(0.5, jnp.float32)))
+    eps = 1e-3
+    fd = (
+        float(llw(jnp.asarray(0.5 + eps, jnp.float32)))
+        - float(llw(jnp.asarray(0.5 - eps, jnp.float32)))
+    ) / (2 * eps)
+    assert abs(g_shape - fd) < 2e-2 * abs(fd), (g_shape, fd)

@@ -20,7 +20,8 @@ class UnrootedInstance(GenericSBNInstance):
 
     # -- training ------------------------------------------------------------
     def train_expectation_maximization(
-        self, alpha: float, max_iter: int, score_epsilon: float = 0.0
+        self, alpha: float, max_iter: int, score_epsilon: float = 0.0,
+        progress: bool = False,
     ) -> np.ndarray:
         self._check_support()
         reps, counts = self._dense_counter()
@@ -32,6 +33,7 @@ class UnrootedInstance(GenericSBNInstance):
             alpha=alpha,
             max_iter=max_iter,
             score_epsilon=score_epsilon,
+            progress=progress,
         )
         self.sbn_parameters = np.asarray(params)
         self._sampler = None

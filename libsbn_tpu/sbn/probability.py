@@ -102,7 +102,7 @@ def _em_step(params, reps, counts, log_m_tilde_alpha, m_tilde_pos, segment_ids,
 
 def expectation_maximization(
     reps, counts, segment_ids, gpcsp_count, alpha=0.0, max_iter=100,
-    score_epsilon=0.0,
+    score_epsilon=0.0, progress=False,
 ):
     """EM training (ExpectationMaximization). Returns (params, score_history).
 
@@ -141,6 +141,13 @@ def expectation_maximization(
         params, score, underflowed = step(params)
         score = float(score)
         total_underflows += int(underflowed)
+        if progress:
+            # The reference renders a ProgressBar over max_iter
+            # (sbn_probability.cpp:256); one status line per iteration.
+            print(
+                f"EM [{em_idx + 1}/{max_iter}] score {score:.10f}",
+                flush=True,
+            )
         if not np.isfinite(score):
             import warnings
 

@@ -124,13 +124,21 @@ class Burrito:
             {"scalar_params": scalar_grad, "sbn_params": sbn_grad}
         )
 
-    def gradient_steps(self, step_count: int):
+    def gradient_steps(self, step_count: int, progress: bool = False):
         betas = np.maximum(
             np.arange(1, step_count + 1, dtype=np.float64) / step_count, 0.001
         )
         for step in range(step_count):
             self.gradient_step(betas[step])
             self.elbo_trace.append(self.estimate_elbo(self.particle_count))
+            if progress:
+                # The reference renders a click progress bar here
+                # (burrito.py:122); one status line per step.
+                print(
+                    f"VBPI [{step + 1}/{step_count}] "
+                    f"elbo {self.elbo_trace[-1]:.4f} beta {betas[step]:.3f}",
+                    flush=True,
+                )
 
     def _sample_and_likelihoods(self, particle_count: int):
         self.sample_topologies(particle_count)

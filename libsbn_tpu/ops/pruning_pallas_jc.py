@@ -35,7 +35,6 @@ log_likelihood_and_branch_gradient (same values to f32 tolerance).
 
 from __future__ import annotations
 
-import contextlib
 import functools
 
 import jax
@@ -114,31 +113,46 @@ def _kernel(
 
     jax.lax.fori_loop(0, L, leaf_body, 0)
 
-    # -- forward combine steps: node L + s.
-    def fwd_body(s, logscale):
+    # -- forward combine steps: node L + s. Rescaling happens only on
+    # every SECOND step (plus the last): any positive per-pattern factor
+    # is a valid scale, one unscaled level cannot leave f32 range
+    # (post-scale values are <= 1 and products of three <= 1), and the
+    # next scaled step's row sum absorbs the accumulated magnitude — so
+    # alternate-step scaling halves the where/reciprocal/log traffic.
+    def fwd_body_at(s, logscale, do_scale):
         k0 = sched_ref[0, s, 0]
         k1 = sched_ref[0, s, 1]
         k2 = sched_ref[0, s, 2]
         prod = read(E, k0) * read(E, k1) * read(E, k2)  # (R, PT)
         rsums = [rowsum4(prod, k) for k in range(K)]
-        scale = rsums[0] if K == 1 else functools.reduce(jnp.add, rsums)
-        scale = jnp.where(scale > 0, scale, jnp.ones_like(scale))
-        inv = 1.0 / scale
         node = L + s
-        # Apply on the unscaled product, then scale once on the way out
-        # (P is linear, so P(prod) * inv == P(prod * inv)).
-        write(E, node, apply_node(node, prod, rsums) * inv)
-        rsums = [r * inv for r in rsums]
+        if do_scale:
+            scale = rsums[0] if K == 1 else functools.reduce(jnp.add, rsums)
+            scale = jnp.where(scale > 0, scale, jnp.ones_like(scale))
+            inv = 1.0 / scale
+            # Apply on the unscaled product, then scale once on the way
+            # out (P is linear, so P(prod) * inv == P(prod * inv)).
+            write(E, node, apply_node(node, prod, rsums) * inv)
+            rsums = [r * inv for r in rsums]
+            logscale = logscale + jnp.log(scale)
+        else:
+            write(E, node, apply_node(node, prod, rsums))
         ES[pl.ds(node, 1), :, :] = (
             rsums[0][None]
             if K == 1
             else jnp.concatenate(rsums, axis=0)[None]
         )
-        return logscale + jnp.log(scale)
+        return logscale
+
+    def fwd_pair(i, logscale):
+        logscale = fwd_body_at(2 * i, logscale, do_scale=False)
+        return fwd_body_at(2 * i + 1, logscale, do_scale=True)
 
     logscale = jax.lax.fori_loop(
-        0, n_steps, fwd_body, jnp.zeros((1, PT), dt)
+        0, n_steps // 2, fwd_pair, jnp.zeros((1, PT), dt)
     )
+    if n_steps % 2:
+        logscale = fwd_body_at(n_steps - 1, logscale, do_scale=True)
 
     # -- root log-likelihood: site = (1/4) sum_k props_k S_E,k[root].
     es_root = ES[pl.ds(root_id, 1), :, :][0]  # (K, PT)
@@ -167,9 +181,16 @@ def _kernel(
         node = root_id - t
         s = node - L
         un = read(U, node)
-        ev_up = apply_node(
-            node, un, [rowsum4(un, k) for k in range(K)]
-        )  # P^T = P for JC69
+        if K == 1:
+            # U rows sum to EXACTLY 1 by construction (each write divides
+            # by its own row sum; U[root] = 4 x 1/4), so the apply's
+            # row-sum operand is the scalar 1: ev_up = e un + (1-e)/4.
+            e = ea(node, 0)
+            ev_up = e * un + ((1.0 - e) * quarter)
+        else:
+            ev_up = apply_node(
+                node, un, [rowsum4(un, k) for k in range(K)]
+            )  # P^T = P for JC69
         k0 = sched_ref[0, s, 0]
         k1 = sched_ref[0, s, 1]
         k2 = sched_ref[0, s, 2]
@@ -387,25 +408,39 @@ def _fwd_ll_kernel(
 
     jax.lax.fori_loop(0, L, leaf_body, 0)
 
-    def fwd_body(s, logscale):
+    def fwd_body_at(s, logscale, do_scale):
+        # Alternate-step rescaling; see _kernel's fwd pass.
         k0 = sched_ref[0, s, 0]
         k1 = sched_ref[0, s, 1]
         k2 = sched_ref[0, s, 2]
         prod = read(E, k0) * read(E, k1) * read(E, k2)
         rsums = [rowsum4(prod, k) for k in range(K)]
-        scale = rsums[0] if K == 1 else functools.reduce(jnp.add, rsums)
-        scale = jnp.where(scale > 0, scale, jnp.ones_like(scale))
-        inv = 1.0 / scale
         node = L + s
-        write(E, node, apply_node(node, prod, rsums) * inv)
+        if do_scale:
+            scale = rsums[0] if K == 1 else functools.reduce(jnp.add, rsums)
+            scale = jnp.where(scale > 0, scale, jnp.ones_like(scale))
+            inv = 1.0 / scale
+            write(E, node, apply_node(node, prod, rsums) * inv)
+            rsums = [r * inv for r in rsums]
+            logscale = logscale + jnp.log(scale)
+        else:
+            write(E, node, apply_node(node, prod, rsums))
         ES[pl.ds(node, 1), :, :] = (
-            (rsums[0] * inv)[None]
+            rsums[0][None]
             if K == 1
-            else jnp.concatenate([r * inv for r in rsums], axis=0)[None]
+            else jnp.concatenate(rsums, axis=0)[None]
         )
-        return logscale + jnp.log(scale)
+        return logscale
 
-    logscale = jax.lax.fori_loop(0, n_steps, fwd_body, jnp.zeros((1, PT), dt))
+    def fwd_pair(i, logscale):
+        logscale = fwd_body_at(2 * i, logscale, do_scale=False)
+        return fwd_body_at(2 * i + 1, logscale, do_scale=True)
+
+    logscale = jax.lax.fori_loop(
+        0, n_steps // 2, fwd_pair, jnp.zeros((1, PT), dt)
+    )
+    if n_steps % 2:
+        logscale = fwd_body_at(n_steps - 1, logscale, do_scale=True)
 
     es_root = ES[pl.ds(root_id, 1), :, :][0]
     site = jnp.zeros((1, PT), dt)
@@ -524,7 +559,14 @@ def _bwd_dea_kernel(
         node = root_id - t
         s = node - L
         un = read(U, node)
-        ev_up = apply_node(node, un, [rowsum4(un, k) for k in range(K)])
+        if K == 1:
+            # U rows sum to exactly 1 (see _kernel's up pass).
+            e_n = ea(node, 0)
+            ev_up = e_n * un + ((1.0 - e_n) * quarter)
+        else:
+            ev_up = apply_node(
+                node, un, [rowsum4(un, k) for k in range(K)]
+            )
         k0 = sched_ref[0, s, 0]
         k1 = sched_ref[0, s, 1]
         k2 = sched_ref[0, s, 2]

@@ -776,3 +776,31 @@ def log_likelihoods_pallas_jc69(
         tile,
         interpret,
     )
+
+
+def log_likelihood_and_branch_gradient_pallas_jc69_sharded(
+    mesh, post_children, bl_padded, tips, weights, *, root_id, rates=None,
+    props=None, interpret=False, axis="dp",
+):
+    """Mesh-parallel JC69 kernel: shard the tree batch over ``axis`` with
+    shard_map (Pallas custom calls are per-device programs, so the batch
+    split is explicit — same contract as the generic sharded wrapper)."""
+    from jax.sharding import PartitionSpec as PSpec
+
+    def local(pc, bl_loc):
+        return log_likelihood_and_branch_gradient_pallas_jc69(
+            pc, bl_loc, tips, weights, root_id=root_id, rates=rates,
+            props=props, interpret=interpret,
+        )
+
+    f = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(PSpec(axis), PSpec(axis)),
+        out_specs=(PSpec(axis), PSpec(axis)),
+        check_vma=False,
+    )
+    return f(
+        jnp.asarray(post_children, jnp.int32),
+        jnp.asarray(bl_padded, jnp.float32),
+    )

@@ -425,3 +425,30 @@ def test_jc_vjp_kernel_ad_consistency(ds1):
         - float(llw(jnp.asarray(0.5 - eps, jnp.float32)))
     ) / (2 * eps)
     assert abs(g_shape - fd) < 2e-2 * abs(fd), (g_shape, fd)
+
+
+def test_jc_sharded_matches_local(ds1):
+    """JC kernel shard_map wrapper == local kernel on the 8-device mesh."""
+    from libsbn_tpu.ops import pruning_pallas_jc
+    from libsbn_tpu.parallel.sharding import make_mesh
+
+    sched, bl, sp = ds1
+    B = 8
+    reps = B // 10 + 1
+    tile = lambda a: np.tile(a, (reps,) + (1,) * (a.ndim - 1))[:B]  # noqa: E731
+    pc = tile(np.asarray(sched.post_children)).astype(np.int32)
+    bl_p = tile(np.pad(bl, ((0, 0), (0, 1)))).astype(np.float32)
+    tips = sp.tip_partials(np.float32)
+    w = sp.weights.astype(np.float32)
+
+    ll0, g0 = pruning_pallas_jc.log_likelihood_and_branch_gradient_pallas_jc69(
+        pc, bl_p, tips, w, root_id=sched.root_id, interpret=True
+    )
+    mesh = make_mesh(8, dp=8, sp=1)
+    ll1, g1 = (
+        pruning_pallas_jc.log_likelihood_and_branch_gradient_pallas_jc69_sharded(
+            mesh, pc, bl_p, tips, w, root_id=sched.root_id, interpret=True
+        )
+    )
+    np.testing.assert_allclose(np.asarray(ll1), np.asarray(ll0), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), atol=1e-2)

@@ -86,8 +86,10 @@ def measure_cpu_baseline(args, sp):
         threads=0, dtype_bits=32,
     )
     run()  # warmup
+    # Best of 4 windows: the 2-core host also runs the tunnel processes,
+    # so single windows vary ~20%; the max window is the machine's rate.
     best = 0.0
-    for _ in range(2):
+    for _ in range(4):
         t0 = time.time()
         iters = 0
         while time.time() - t0 < 1.0:

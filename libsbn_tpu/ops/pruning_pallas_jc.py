@@ -43,7 +43,172 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pruning_pallas import _auto_tile, pad_patterns
+from .pruning_pallas import pad_patterns
+
+
+def _auto_tile_jc(N1, K, L, PT, scratch_lane_floats, budget=12 * 2**20):
+    """Largest 128-multiple divisor of PT whose VMEM working set fits.
+    scratch_lane_floats: per-lane floats of THIS kernel's scratch buffers
+    (the fused grad kernel and the VJP backward differ — the generic
+    formula undercounted the backward's M+E+U by ~1.6x)."""
+    per_lane = (scratch_lane_floats + 4 * L + 8) * 4
+    m = PT // 128
+    divisors = sorted(
+        (d for d in range(1, m + 1) if m % d == 0), reverse=True
+    )
+    for d in divisors:
+        if d * 128 * per_lane <= budget:
+            return d * 128
+    return 128
+
+
+def _shared_ops(ea_ref, K):
+    """Closure bundle shared by the three kernels (ea lookup, slab
+    read/write, per-category row sums, the closed-form JC69 apply)."""
+    quarter = jnp.float32(0.25)
+
+    def ea(node, k):
+        return ea_ref[0, 0, node * K + k]  # scalar
+
+    def read(ref, node):
+        return ref[pl.ds(node, 1), :, :][0]  # (4K, PT)
+
+    def write(ref, node, val):
+        ref[pl.ds(node, 1), :, :] = val[None]
+
+    def rowsum4(slab, k):
+        return jnp.sum(slab[4 * k : 4 * k + 4, :], axis=0, keepdims=True)
+
+    def apply_node(node, slab, rsums):
+        """P_node(slab) per category; rsums: list of K (1, PT) row sums."""
+        outs = []
+        for k in range(K):
+            e = ea(node, k)
+            outs.append(
+                e * slab[4 * k : 4 * k + 4, :]
+                + ((1.0 - e) * quarter) * rsums[k]
+            )
+        return outs[0] if K == 1 else jnp.concatenate(outs, axis=0)
+
+    return ea, read, write, rowsum4, apply_node
+
+
+def _forward_pass(ops, sched_ref, tips_ref, E, ES, *, L, root_id, K, PT,
+                  M=None):
+    """The shared forward recursion: ones-slot init, leaf applies, and the
+    combine loop with ALTERNATE-STEP rescaling (any positive
+    per-(tree,pattern) factor is a valid scale; one unscaled level cannot
+    leave f32 range since post-scale values are <= 1 and products of
+    three are <= 1 — the next scaled step's row sum absorbs the
+    magnitude, halving the where/reciprocal/log chain).
+
+    Stores evolved partials E, per-node per-category row sums ES (equal
+    to the pre-apply sums by double stochasticity) and — when M is given
+    (the backward kernel's rematerialization) — the pre-apply partials at
+    the SAME scale as E, which keeps every downstream ratio
+    scale-invariant. Returns the (1, PT) logscale."""
+    ea, read, write, rowsum4, apply_node = ops
+    dt = jnp.float32
+    ones_slot = root_id + 1
+    n_steps = root_id + 1 - L
+    R = 4 * K
+    ones_slab = jnp.ones((R, PT), dt)
+    write(E, ones_slot, ones_slab)
+    if M is not None:
+        write(M, ones_slot, ones_slab)
+    ES[pl.ds(ones_slot, 1), :, :] = jnp.full((1, K, PT), 4.0, dt)
+
+    def leaf_body(l, c):
+        tip4 = tips_ref[pl.ds(l, 1), :, :][0]  # (4, PT)
+        rt = jnp.sum(tip4, axis=0, keepdims=True)  # (1, PT)
+        tip = tip4 if K == 1 else jnp.concatenate([tip4] * K, axis=0)
+        if M is not None:
+            write(M, l, tip)
+        write(E, l, apply_node(l, tip, [rt] * K))
+        ES[pl.ds(l, 1), :, :] = (
+            rt[None] if K == 1 else jnp.concatenate([rt] * K, axis=0)[None]
+        )
+        return c
+
+    jax.lax.fori_loop(0, L, leaf_body, 0)
+
+    def fwd_body_at(s, logscale, do_scale):
+        k0 = sched_ref[0, s, 0]
+        k1 = sched_ref[0, s, 1]
+        k2 = sched_ref[0, s, 2]
+        prod = read(E, k0) * read(E, k1) * read(E, k2)  # (R, PT)
+        rsums = [rowsum4(prod, k) for k in range(K)]
+        node = L + s
+        if do_scale:
+            scale = rsums[0] if K == 1 else functools.reduce(jnp.add, rsums)
+            scale = jnp.where(scale > 0, scale, jnp.ones_like(scale))
+            inv = 1.0 / scale
+            # Apply on the unscaled product, then scale once on the way
+            # out (P is linear, so P(prod) * inv == P(prod * inv)).
+            write(E, node, apply_node(node, prod, rsums) * inv)
+            if M is not None:
+                write(M, node, prod * inv)
+            rsums = [r * inv for r in rsums]
+            logscale = logscale + jnp.log(scale)
+        else:
+            write(E, node, apply_node(node, prod, rsums))
+            if M is not None:
+                write(M, node, prod)
+        ES[pl.ds(node, 1), :, :] = (
+            rsums[0][None]
+            if K == 1
+            else jnp.concatenate(rsums, axis=0)[None]
+        )
+        return logscale
+
+    def fwd_pair(i, logscale):
+        logscale = fwd_body_at(2 * i, logscale, do_scale=False)
+        return fwd_body_at(2 * i + 1, logscale, do_scale=True)
+
+    logscale = jax.lax.fori_loop(
+        0, n_steps // 2, fwd_pair, jnp.zeros((1, PT), dt)
+    )
+    if n_steps % 2:
+        logscale = fwd_body_at(n_steps - 1, logscale, do_scale=True)
+    return logscale
+
+
+def _root_site(ES, props_ref, root_id, K, PT):
+    """(1, PT) scaled site likelihoods: (1/4) sum_k props_k S_E,k[root]."""
+    quarter = jnp.float32(0.25)
+    es_root = ES[pl.ds(root_id, 1), :, :][0]  # (K, PT)
+    site = jnp.zeros((1, PT), jnp.float32)
+    for k in range(K):
+        site = site + (props_ref[0, k] * quarter) * es_root[k : k + 1, :]
+    return jnp.maximum(site, jnp.float32(1e-30))
+
+
+def _u_root_rows(props_ref, K, PT):
+    """U[root] rows: props_k / 4 (freqs folded; rows of each category sum
+    with the others to exactly 1)."""
+    quarter = jnp.float32(0.25)
+    if K == 1:
+        return jnp.full((4, PT), props_ref[0, 0] * quarter, jnp.float32)
+    return jnp.concatenate(
+        [
+            jnp.full((4, PT), props_ref[0, k] * quarter, jnp.float32)
+            for k in range(K)
+        ],
+        axis=0,
+    )
+
+
+def _evolve_up(ops, U, node, K):
+    """P^T U[node] = P U[node] (JC69 symmetric). K=1 exploits that U rows
+    sum to EXACTLY 1 by construction (each write divides by its own row
+    sum; U[root] = 4 x 1/4): the row-sum operand is the scalar 1."""
+    ea, read, write, rowsum4, apply_node = ops
+    un = read(U, node)
+    if K == 1:
+        e = ea(node, 0)
+        return un, e * un + ((1.0 - e) * jnp.float32(0.25))
+    return un, apply_node(node, un, [rowsum4(un, k) for k in range(K)])
+
 
 
 def _kernel(
@@ -65,132 +230,30 @@ def _kernel(
     K: int,
 ):
     L = leaf_count
-    ones_slot = root_id + 1
     n_steps = root_id + 1 - L
     PT = w_ref.shape[1]
-    R = 4 * K
     dt = jnp.float32
     tiny = jnp.asarray(1e-30, dt)
-    quarter = jnp.asarray(0.25, dt)
+    ops = _shared_ops(ea_ref, K)
+    ea, read, write, rowsum4, apply_node = ops
 
-    def ea(node, k):
-        return ea_ref[0, 0, node * K + k]  # scalar
-
-    def read(ref, node):
-        return ref[pl.ds(node, 1), :, :][0]  # (R, PT)
-
-    def write(ref, node, val):
-        ref[pl.ds(node, 1), :, :] = val[None]
-
-    def rowsum4(slab, k):
-        return jnp.sum(slab[4 * k : 4 * k + 4, :], axis=0, keepdims=True)
-
-    def apply_node(node, slab, rsums):
-        """P_node(slab) per category; rsums: list of K (1, PT) row sums."""
-        outs = []
-        for k in range(K):
-            e = ea(node, k)
-            outs.append(
-                e * slab[4 * k : 4 * k + 4, :]
-                + ((1.0 - e) * quarter) * rsums[k]
-            )
-        return outs[0] if K == 1 else jnp.concatenate(outs, axis=0)
-
-    # -- init: ones slot (inert padding child); its row sums are 4.
-    write(E, ones_slot, jnp.ones((R, PT), dt))
-    ES[pl.ds(ones_slot, 1), :, :] = jnp.full((1, K, PT), 4.0, dt)
-
-    # -- leaves: E[l] = P_l tip; pre-apply sum = post-apply sum.
-    def leaf_body(l, c):
-        tip4 = tips_ref[pl.ds(l, 1), :, :][0]  # (4, PT)
-        rt = jnp.sum(tip4, axis=0, keepdims=True)  # (1, PT)
-        tip = tip4 if K == 1 else jnp.concatenate([tip4] * K, axis=0)
-        write(E, l, apply_node(l, tip, [rt] * K))
-        ES[pl.ds(l, 1), :, :] = (
-            rt[None] if K == 1 else jnp.concatenate([rt] * K, axis=0)[None]
-        )
-        return c
-
-    jax.lax.fori_loop(0, L, leaf_body, 0)
-
-    # -- forward combine steps: node L + s. Rescaling happens only on
-    # every SECOND step (plus the last): any positive per-pattern factor
-    # is a valid scale, one unscaled level cannot leave f32 range
-    # (post-scale values are <= 1 and products of three <= 1), and the
-    # next scaled step's row sum absorbs the accumulated magnitude — so
-    # alternate-step scaling halves the where/reciprocal/log traffic.
-    def fwd_body_at(s, logscale, do_scale):
-        k0 = sched_ref[0, s, 0]
-        k1 = sched_ref[0, s, 1]
-        k2 = sched_ref[0, s, 2]
-        prod = read(E, k0) * read(E, k1) * read(E, k2)  # (R, PT)
-        rsums = [rowsum4(prod, k) for k in range(K)]
-        node = L + s
-        if do_scale:
-            scale = rsums[0] if K == 1 else functools.reduce(jnp.add, rsums)
-            scale = jnp.where(scale > 0, scale, jnp.ones_like(scale))
-            inv = 1.0 / scale
-            # Apply on the unscaled product, then scale once on the way
-            # out (P is linear, so P(prod) * inv == P(prod * inv)).
-            write(E, node, apply_node(node, prod, rsums) * inv)
-            rsums = [r * inv for r in rsums]
-            logscale = logscale + jnp.log(scale)
-        else:
-            write(E, node, apply_node(node, prod, rsums))
-        ES[pl.ds(node, 1), :, :] = (
-            rsums[0][None]
-            if K == 1
-            else jnp.concatenate(rsums, axis=0)[None]
-        )
-        return logscale
-
-    def fwd_pair(i, logscale):
-        logscale = fwd_body_at(2 * i, logscale, do_scale=False)
-        return fwd_body_at(2 * i + 1, logscale, do_scale=True)
-
-    logscale = jax.lax.fori_loop(
-        0, n_steps // 2, fwd_pair, jnp.zeros((1, PT), dt)
+    logscale = _forward_pass(
+        ops, sched_ref, tips_ref, E, ES, L=L, root_id=root_id, K=K, PT=PT
     )
-    if n_steps % 2:
-        logscale = fwd_body_at(n_steps - 1, logscale, do_scale=True)
-
-    # -- root log-likelihood: site = (1/4) sum_k props_k S_E,k[root].
-    es_root = ES[pl.ds(root_id, 1), :, :][0]  # (K, PT)
-    site = jnp.zeros((1, PT), dt)
-    for k in range(K):
-        site = site + (props_ref[0, k] * quarter) * es_root[k : k + 1, :]
-    site = jnp.maximum(site, tiny)
+    site = _root_site(ES, props_ref, root_id, K, PT)
     ll_ref[0, 0, :, :] = jnp.sum(
         w_ref[:] * (jnp.log(site) + logscale), axis=1, keepdims=True
     )
 
     # -- upward pass + fused edge derivatives (props folded into U).
-    freq_rows = jnp.concatenate(
-        [
-            jnp.full((4, PT), props_ref[0, k] * quarter, dt)
-            for k in range(K)
-        ],
-        axis=0,
-    ) if K > 1 else jnp.full((4, PT), props_ref[0, 0] * quarter, dt)
-    write(U, root_id, freq_rows)
-
+    write(U, root_id, _u_root_rows(props_ref, K, PT))
     third = jnp.asarray(1.0 / 3.0, dt)
     four_thirds = jnp.asarray(4.0 / 3.0, dt)
 
     def up_body(t, c):
         node = root_id - t
         s = node - L
-        un = read(U, node)
-        if K == 1:
-            # U rows sum to EXACTLY 1 by construction (each write divides
-            # by its own row sum; U[root] = 4 x 1/4), so the apply's
-            # row-sum operand is the scalar 1: ev_up = e un + (1-e)/4.
-            e = ea(node, 0)
-            ev_up = e * un + ((1.0 - e) * quarter)
-        else:
-            ev_up = apply_node(
-                node, un, [rowsum4(un, k) for k in range(K)]
-            )  # P^T = P for JC69
+        _, ev_up = _evolve_up(ops, U, node, K)
         k0 = sched_ref[0, s, 0]
         k1 = sched_ref[0, s, 1]
         k2 = sched_ref[0, s, 2]
@@ -334,7 +397,10 @@ def log_likelihood_and_branch_gradient_pallas_jc69(
     tips_p, w_p = pad_patterns(tips, weights)
     N1 = bl_padded.shape[1]
     if tile is None:
-        tile = _auto_tile(N1, K, leaf_count, w_p.shape[0], 4)
+        tile = _auto_tile_jc(
+            N1, K, leaf_count, w_p.shape[0],
+            2 * N1 * 4 * K + N1 * K + N1,
+        )
     ea = exp_factors(bl_padded, rates)[:, None, :]
     ll, grad = _pallas_jc_ll_grad(
         jnp.asarray(post_children, jnp.int32),
@@ -366,87 +432,13 @@ def _fwd_ll_kernel(
     sched_ref, ea_ref, props_ref, tips_ref, w_ref, ll_ref, E, ES,
     *, leaf_count: int, root_id: int, K: int,
 ):
-    L = leaf_count
-    ones_slot = root_id + 1
-    n_steps = root_id + 1 - L
     PT = w_ref.shape[1]
-    R = 4 * K
-    dt = jnp.float32
-    tiny = jnp.asarray(1e-30, dt)
-    quarter = jnp.asarray(0.25, dt)
-
-    def ea(node, k):
-        return ea_ref[0, 0, node * K + k]
-
-    def write(ref, node, val):
-        ref[pl.ds(node, 1), :, :] = val[None]
-
-    def read(ref, node):
-        return ref[pl.ds(node, 1), :, :][0]
-
-    def rowsum4(slab, k):
-        return jnp.sum(slab[4 * k : 4 * k + 4, :], axis=0, keepdims=True)
-
-    def apply_node(node, slab, rsums):
-        outs = []
-        for k in range(K):
-            e = ea(node, k)
-            outs.append(
-                e * slab[4 * k : 4 * k + 4, :]
-                + ((1.0 - e) * quarter) * rsums[k]
-            )
-        return outs[0] if K == 1 else jnp.concatenate(outs, axis=0)
-
-    write(E, ones_slot, jnp.ones((R, PT), dt))
-
-    def leaf_body(l, c):
-        tip4 = tips_ref[pl.ds(l, 1), :, :][0]
-        rt = jnp.sum(tip4, axis=0, keepdims=True)
-        tip = tip4 if K == 1 else jnp.concatenate([tip4] * K, axis=0)
-        write(E, l, apply_node(l, tip, [rt] * K))
-        return c
-
-    jax.lax.fori_loop(0, L, leaf_body, 0)
-
-    def fwd_body_at(s, logscale, do_scale):
-        # Alternate-step rescaling; see _kernel's fwd pass.
-        k0 = sched_ref[0, s, 0]
-        k1 = sched_ref[0, s, 1]
-        k2 = sched_ref[0, s, 2]
-        prod = read(E, k0) * read(E, k1) * read(E, k2)
-        rsums = [rowsum4(prod, k) for k in range(K)]
-        node = L + s
-        if do_scale:
-            scale = rsums[0] if K == 1 else functools.reduce(jnp.add, rsums)
-            scale = jnp.where(scale > 0, scale, jnp.ones_like(scale))
-            inv = 1.0 / scale
-            write(E, node, apply_node(node, prod, rsums) * inv)
-            rsums = [r * inv for r in rsums]
-            logscale = logscale + jnp.log(scale)
-        else:
-            write(E, node, apply_node(node, prod, rsums))
-        ES[pl.ds(node, 1), :, :] = (
-            rsums[0][None]
-            if K == 1
-            else jnp.concatenate(rsums, axis=0)[None]
-        )
-        return logscale
-
-    def fwd_pair(i, logscale):
-        logscale = fwd_body_at(2 * i, logscale, do_scale=False)
-        return fwd_body_at(2 * i + 1, logscale, do_scale=True)
-
-    logscale = jax.lax.fori_loop(
-        0, n_steps // 2, fwd_pair, jnp.zeros((1, PT), dt)
+    ops = _shared_ops(ea_ref, K)
+    logscale = _forward_pass(
+        ops, sched_ref, tips_ref, E, ES, L=leaf_count, root_id=root_id,
+        K=K, PT=PT,
     )
-    if n_steps % 2:
-        logscale = fwd_body_at(n_steps - 1, logscale, do_scale=True)
-
-    es_root = ES[pl.ds(root_id, 1), :, :][0]
-    site = jnp.zeros((1, PT), dt)
-    for k in range(K):
-        site = site + (props_ref[0, k] * quarter) * es_root[k : k + 1, :]
-    site = jnp.maximum(site, tiny)
+    site = _root_site(ES, props_ref, root_id, K, PT)
     ll_ref[0, 0, :, :] = jnp.sum(
         w_ref[:] * (jnp.log(site) + logscale), axis=1, keepdims=True
     )
@@ -463,78 +455,24 @@ def _bwd_dea_kernel(
     ones_slot = root_id + 1
     n_steps = root_id + 1 - L
     PT = w_ref.shape[1]
-    R = 4 * K
     dt = jnp.float32
     tiny = jnp.asarray(1e-30, dt)
     quarter = jnp.asarray(0.25, dt)
+    ops = _shared_ops(ea_ref, K)
+    ea, read, write, rowsum4, apply_node = ops
 
-    def ea(node, k):
-        return ea_ref[0, 0, node * K + k]
-
-    def write(ref, node, val):
-        ref[pl.ds(node, 1), :, :] = val[None]
-
-    def read(ref, node):
-        return ref[pl.ds(node, 1), :, :][0]
-
-    def rowsum4(slab, k):
-        return jnp.sum(slab[4 * k : 4 * k + 4, :], axis=0, keepdims=True)
-
-    def apply_node(node, slab, rsums):
-        outs = []
-        for k in range(K):
-            e = ea(node, k)
-            outs.append(
-                e * slab[4 * k : 4 * k + 4, :]
-                + ((1.0 - e) * quarter) * rsums[k]
-            )
-        return outs[0] if K == 1 else jnp.concatenate(outs, axis=0)
-
-    # Forward recompute in M-form (residuals would be huge; remat).
-    ones_slab = jnp.ones((R, PT), dt)
-    write(M, ones_slot, ones_slab)
-    write(E, ones_slot, ones_slab)
-    ES[pl.ds(ones_slot, 1), :, :] = jnp.full((1, K, PT), 4.0, dt)
-
-    def leaf_body(l, c):
-        tip4 = tips_ref[pl.ds(l, 1), :, :][0]
-        rt = jnp.sum(tip4, axis=0, keepdims=True)
-        tip = tip4 if K == 1 else jnp.concatenate([tip4] * K, axis=0)
-        write(M, l, tip)
-        write(E, l, apply_node(l, tip, [rt] * K))
-        ES[pl.ds(l, 1), :, :] = (
-            rt[None] if K == 1 else jnp.concatenate([rt] * K, axis=0)[None]
-        )
-        return c
-
-    jax.lax.fori_loop(0, L, leaf_body, 0)
-
-    def fwd_body(s, c):
-        k0 = sched_ref[0, s, 0]
-        k1 = sched_ref[0, s, 1]
-        k2 = sched_ref[0, s, 2]
-        prod = read(E, k0) * read(E, k1) * read(E, k2)
-        rsums = [rowsum4(prod, k) for k in range(K)]
-        scale = rsums[0] if K == 1 else functools.reduce(jnp.add, rsums)
-        scale = jnp.where(scale > 0, scale, jnp.ones_like(scale))
-        inv = 1.0 / scale
-        node = L + s
-        write(M, node, prod * inv)
-        write(E, node, apply_node(node, prod, rsums) * inv)
-        rs = [r * inv for r in rsums]
-        ES[pl.ds(node, 1), :, :] = (
-            rs[0][None] if K == 1 else jnp.concatenate(rs, axis=0)[None]
-        )
-        return c
-
-    jax.lax.fori_loop(0, n_steps, fwd_body, 0)
+    # Forward recompute in M-form (residuals would be huge; remat). M
+    # shares E's (alternate-step) scale, so every ratio below is
+    # scale-invariant.
+    _forward_pass(
+        ops, sched_ref, tips_ref, E, ES, L=L, root_id=root_id, K=K, PT=PT,
+        M=M,
+    )
 
     # dprops from the root: dprops_k = sum_p (w/site) (1/4) S_M,k[root].
     es_root = ES[pl.ds(root_id, 1), :, :][0]  # (K, PT)
-    site = jnp.zeros((1, PT), dt)
-    for k in range(K):
-        site = site + (props_ref[0, k] * quarter) * es_root[k : k + 1, :]
-    w_over_site = w_ref[:] / jnp.maximum(site, tiny)
+    site = _root_site(ES, props_ref, root_id, K, PT)
+    w_over_site = w_ref[:] / site
     dpr = [
         jnp.sum(quarter * es_root[k : k + 1, :] * w_over_site, axis=1,
                 keepdims=True)
@@ -545,28 +483,12 @@ def _bwd_dea_kernel(
     )
 
     # Upper pass, emitting dea per edge as it forms.
-    freq_rows = (
-        jnp.concatenate(
-            [jnp.full((4, PT), props_ref[0, k] * quarter, dt) for k in range(K)],
-            axis=0,
-        )
-        if K > 1
-        else jnp.full((4, PT), props_ref[0, 0] * quarter, dt)
-    )
-    write(U, root_id, freq_rows)
+    write(U, root_id, _u_root_rows(props_ref, K, PT))
 
     def up_body(t, c):
         node = root_id - t
         s = node - L
-        un = read(U, node)
-        if K == 1:
-            # U rows sum to exactly 1 (see _kernel's up pass).
-            e_n = ea(node, 0)
-            ev_up = e_n * un + ((1.0 - e_n) * quarter)
-        else:
-            ev_up = apply_node(
-                node, un, [rowsum4(un, k) for k in range(K)]
-            )
+        _, ev_up = _evolve_up(ops, U, node, K)
         k0 = sched_ref[0, s, 0]
         k1 = sched_ref[0, s, 1]
         k2 = sched_ref[0, s, 2]
@@ -761,7 +683,9 @@ def log_likelihoods_pallas_jc69(
     N1 = bl_padded.shape[1]
     PT = weights.shape[0]
     if tile is None:
-        tile = _auto_tile(N1, K, leaf_count, PT, 4)
+        tile = _auto_tile_jc(
+            N1, K, leaf_count, PT, 3 * N1 * 4 * K + N1 * K
+        )
     ea = exp_factors(bl_padded, rates)[:, None, :]
     return _ll_jc(
         jnp.asarray(post_children, jnp.int32),

@@ -36,7 +36,7 @@ def _x64_ctx(dt):
 
 # -- forward kernel: E-form, ll only -----------------------------------------
 def _fwd_kernel(
-    sched_ref, freqs_ref, props_ref, P_ref, PT_ref, tips_ref, w_ref,
+    sched_ref, freqs_ref, props_ref, P_ref, tips_ref, w_ref,
     ll_ref, E,
     *, leaf_count: int, root_id: int, K: int, vpu: bool,
 ):
@@ -266,7 +266,10 @@ def _bwd_kernel(
         dP_ref[0, pl.ds(ones_slot * K + k, 1), :, :] = zero44
 
 
-def _specs(B, S, N1, K, L, PT):
+def _specs(B, S, N1, K, L, PT, with_pt):
+    """with_pt: include the transposed-P input (backward kernel only —
+    the forward kernel never reads it, and shipping it doubled the
+    forward pass's P-matrix bandwidth for nothing)."""
     in_specs = [
         pl.BlockSpec((1, S, 3), lambda b: (b, 0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 4), lambda b: (0, 0), memory_space=pltpu.SMEM),
@@ -274,9 +277,15 @@ def _specs(B, S, N1, K, L, PT):
         pl.BlockSpec(
             (1, N1 * K, 4, 4), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
         ),
-        pl.BlockSpec(
-            (1, N1 * K, 4, 4), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
-        ),
+    ]
+    if with_pt:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, N1 * K, 4, 4), lambda b: (b, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+    in_specs += [
         pl.BlockSpec((L, 4, PT), lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, PT), lambda b: (0, 0), memory_space=pltpu.VMEM),
     ]
@@ -284,10 +293,10 @@ def _specs(B, S, N1, K, L, PT):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("leaf_count", "root_id", "interpret")
+    jax.jit, static_argnames=("leaf_count", "root_id", "interpret", "vpu")
 )
 def _fwd_call(post_children, P2, tips, freqs, props, weights, *, leaf_count,
-              root_id, interpret):
+              root_id, interpret, vpu):
     B, S, _ = post_children.shape
     K = props.shape[1]
     N1 = P2.shape[1] // K
@@ -295,30 +304,28 @@ def _fwd_call(post_children, P2, tips, freqs, props, weights, *, leaf_count,
     L = leaf_count
     dt = P2.dtype
     kernel = functools.partial(
-        _fwd_kernel, leaf_count=L, root_id=root_id, K=K,
-        vpu=_apply_mode(dt),
+        _fwd_kernel, leaf_count=L, root_id=root_id, K=K, vpu=vpu
     )
-    P2T = jnp.swapaxes(P2, -1, -2)
     with _x64_ctx(dt):
         (ll,) = pl.pallas_call(
             kernel,
             grid=(B,),
-            in_specs=_specs(B, S, N1, K, L, PT),
+            in_specs=_specs(B, S, N1, K, L, PT, with_pt=False),
             out_specs=[
                 pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             ],
             out_shape=[jax.ShapeDtypeStruct((B, 1, 1), dt)],
             scratch_shapes=[pltpu.VMEM((N1, 4 * K, PT), dt)],
             interpret=interpret,
-        )(post_children, freqs, props, P2, P2T, tips, weights)
+        )(post_children, freqs, props, P2, tips, weights)
     return ll[:, 0, 0]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("leaf_count", "root_id", "interpret")
+    jax.jit, static_argnames=("leaf_count", "root_id", "interpret", "vpu")
 )
 def _bwd_call(post_children, P2, tips, freqs, props, weights, *, leaf_count,
-              root_id, interpret):
+              root_id, interpret, vpu):
     B, S, _ = post_children.shape
     K = props.shape[1]
     N1 = P2.shape[1] // K
@@ -326,15 +333,14 @@ def _bwd_call(post_children, P2, tips, freqs, props, weights, *, leaf_count,
     L = leaf_count
     dt = P2.dtype
     kernel = functools.partial(
-        _bwd_kernel, leaf_count=L, root_id=root_id, K=K,
-        vpu=_apply_mode(dt),
+        _bwd_kernel, leaf_count=L, root_id=root_id, K=K, vpu=vpu
     )
     P2T = jnp.swapaxes(P2, -1, -2)
     with _x64_ctx(dt):
         dP, dfreqs, dprops = pl.pallas_call(
             kernel,
             grid=(B,),
-            in_specs=_specs(B, S, N1, K, L, PT),
+            in_specs=_specs(B, S, N1, K, L, PT, with_pt=True),
             out_specs=[
                 pl.BlockSpec(
                     (1, N1 * K, 4, 4), lambda b: (b, 0, 0, 0),
@@ -377,6 +383,7 @@ def log_likelihoods_pallas(
         freqs[None, :].astype(P.dtype), props[None, :].astype(P.dtype),
         weights[None, :].astype(P.dtype),
         leaf_count=leaf_count, root_id=root_id, interpret=interpret,
+        vpu=_apply_mode(P.dtype),
     )
 
 
@@ -397,6 +404,7 @@ def _llp_bwd(leaf_count, root_id, interpret, res, g):
         freqs[None, :].astype(P.dtype), props[None, :].astype(P.dtype),
         weights[None, :].astype(P.dtype),
         leaf_count=leaf_count, root_id=root_id, interpret=interpret,
+        vpu=_apply_mode(P.dtype),
     )
     gb = g[:, None, None, None]
     dP = (dP2 * gb).reshape(B, N1, K, 4, 4)

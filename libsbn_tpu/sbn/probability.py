@@ -136,11 +136,15 @@ def expectation_maximization(
     )
 
     score_history = []
-    total_underflows = 0
+    max_underflowed = 0
+    underflow_iters = 0
     for em_idx in range(max_iter):
         params, score, underflowed = step(params)
         score = float(score)
-        total_underflows += int(underflowed)
+        underflowed = int(underflowed)
+        if underflowed:
+            underflow_iters += 1
+            max_underflowed = max(max_underflowed, underflowed)
         if progress:
             # The reference renders a ProgressBar over max_iter
             # (sbn_probability.cpp:256); one status line per iteration.
@@ -166,13 +170,14 @@ def expectation_maximization(
             assert scaled > -1e-10, "EM score function decreased."
             if abs(scaled) < score_epsilon:
                 break
-    if total_underflows:
+    if underflow_iters:
         import warnings
 
         warnings.warn(
-            f"EM: {total_underflows} in-support rooting weights underflowed "
-            "to 0 across iterations; their M-step contributions were "
-            "dropped (reference clamps these to DOUBLE_MINIMUM and "
+            f"EM: up to {max_underflowed} in-support rooting weights "
+            f"underflowed to 0 (affected {underflow_iters} of "
+            f"{len(score_history)} iterations); their M-step contributions "
+            "were dropped (reference clamps these to DOUBLE_MINIMUM and "
             "reports the FE exception, sbn_probability.cpp:278-281)",
             RuntimeWarning,
             stacklevel=2,

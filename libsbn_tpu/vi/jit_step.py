@@ -340,6 +340,12 @@ class JitVBPI:
             if use_pallas is None
             else use_pallas,
         )
+        # The JC Pallas kernel is f32-only; refusing beats silently
+        # downcasting an explicitly-f64 run.
+        assert not (self.statics.use_pallas and dtype != jnp.float32), (
+            "use_pallas=True requires dtype=jnp.float32 (the JC kernel "
+            "is f32-only); drop use_pallas or pass dtype=jnp.float32"
+        )
 
     def mode_match(self, split_modes):
         """Mode-matched lognormal initialization from per-split branch-length

@@ -226,6 +226,78 @@ def vbpi_train_step_packed(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("statics", "shapes"))
+def vbpi_log_f_packed(
+    state, statics, packed, eps, shapes,
+    tips, weights, segment_ids, evec, ivec, evals, freqs, props, Q,
+):
+    """Per-particle log f = loglike + log prior - log q_sbn - log q_branch
+    at beta = 1, with NO parameter update — the evaluation half of
+    vbpi_train_step, for ELBO / importance-sampled marginal estimates
+    (Burrito.estimate_elbo / marginal_likelihood_estimate analogs,
+    vip burrito.py:127-183)."""
+    arrays = []
+    offset = 0
+    for shp in shapes:
+        n = 1
+        for d in shp:
+            n *= d
+        arrays.append(
+            packed[:, offset : offset + n].reshape((packed.shape[0],) + shp)
+        )
+        offset += n
+    sched5 = tuple(arrays[:5])
+    branch_rep, reps, touched = arrays[5], arrays[6], arrays[7]
+    del touched
+    q_params, sbn_params, _ = state
+    P_count, C, B = branch_rep.shape
+
+    mu = q_params[branch_rep, 0].sum(axis=1)
+    sigma = q_params[branch_rep, 1].sum(axis=1)
+    theta = jnp.exp(mu + sigma * eps)
+    bl_padded = jnp.pad(theta, ((0, 0), (0, 2)))
+    rates = jnp.ones((1,), theta.dtype)
+
+    if statics.use_pallas:
+        from ..ops import pruning_pallas_jc
+
+        lls = pruning_pallas_jc.log_likelihoods_pallas_jc69(
+            sched5[1], bl_padded, tips, weights,
+            leaf_count=tips.shape[0], root_id=statics.root_id,
+        )
+    else:
+        def one(sched5_one, bl):
+            Pm = pruning.node_transition_matrices(evec, ivec, evals, bl, rates)
+
+            class _S:
+                pass
+
+            s = _S()
+            s.root_id = statics.root_id
+            (s.post_node, s.post_children, s.up_node, s.up_parent, s.up_sibs) = (
+                sched5_one
+            )
+            return pruning.log_likelihood(
+                s, Pm, tips, freqs, props, weights, statics.rescale
+            )
+
+        lls = jax.vmap(one, in_axes=((0, 0, 0, 0, 0), 0))(sched5, bl_padded)
+
+    log_prior = B * jnp.log(PRIOR_RATE) - PRIOR_RATE * jnp.sum(theta, axis=1)
+    normalized = sbn_probability.probability_normalize_in_log(
+        sbn_params, segment_ids, statics.num_segments
+    )
+    ext = sbn_probability.with_sentinel(normalized)
+    log_rho = jnp.sum(ext[reps], axis=-1)
+    log_q_sbn = jax.scipy.special.logsumexp(log_rho, axis=-1)
+    log_q_branch = jnp.sum(
+        -jnp.log(theta) - jnp.log(sigma) - 0.5 * jnp.log(2.0 * jnp.pi)
+        - (jnp.log(theta) - mu) ** 2 / (2.0 * sigma**2),
+        axis=1,
+    )
+    return lls + log_prior - log_q_sbn - log_q_branch
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("statics", "optimizer", "shapes"),
@@ -451,21 +523,20 @@ class JitVBPI:
             )
         return self._native_sampler
 
-    def _host_sample(self):
+    def _host_sample(self, count=None):
         """Sample topologies and lower them to dense step inputs."""
         import numpy as np
 
         from ..ops import schedule as schedule_ops
 
+        count = self.local_particle_count if count is None else count
         # Refresh the sampler with current SBN parameters. Prefer the native
         # bulk sampler: it emits canonical parent-id vectors that key the
         # artifact cache directly (sbn/sampling.py NativeSBNSampler).
         self.inst.sbn_parameters = np.asarray(self.state.sbn_params)
         native_sampler = self._get_native_sampler()
         native_sampler.refresh_parameters(self.inst.sbn_parameters)
-        pvs = native_sampler.sample_parent_vectors(
-            self.local_particle_count, rooted=False
-        )
+        pvs = native_sampler.sample_parent_vectors(count, rooted=False)
         if pvs is not None:
             artifacts = [
                 self._topology_artifacts(tuple(map(int, row))) for row in pvs
@@ -474,8 +545,7 @@ class JitVBPI:
             self.inst._sampler = None
             sampler = self.inst._get_sampler()
             tops = [
-                sampler.sample_topology(rooted=False)
-                for _ in range(self.local_particle_count)
+                sampler.sample_topology(rooted=False) for _ in range(count)
             ]
             artifacts = [self._topology_artifacts(t) for t in tops]
         stacked = [np.stack(column) for column in zip(*artifacts)]
@@ -594,3 +664,36 @@ class JitVBPI:
         except AttributeError:  # pragma: no cover - backend without async copy
             pass
         return metrics
+
+    def log_f_values(self, particle_count: int):
+        """(particle_count,) per-particle log f at the current parameters
+        (no update)."""
+        import numpy as np
+
+        sched5, branch_rep, reps, touched, eps = self._host_sample(
+            count=particle_count
+        )
+        packed, eps, shapes = self._device_put(
+            sched5, branch_rep, reps, touched, eps
+        )
+        evec, ivec, evals, freqs, props, Q = self.model_tensors
+        return np.asarray(
+            vbpi_log_f_packed(
+                self.state, self.statics, packed, eps, shapes,
+                self.tips, self.weights, self.segment_ids,
+                evec, ivec, evals, freqs, props, Q,
+            )
+        )
+
+    def estimate_elbo(self, particle_count: int) -> float:
+        """Naive Monte Carlo ELBO (Burrito.estimate_elbo analog)."""
+        return float(self.log_f_values(particle_count).mean())
+
+    def marginal_likelihood_estimate(self, particle_count: int) -> float:
+        """Importance-sampling marginal log likelihood: logsumexp(log f)
+        - log n (Burrito.marginal_likelihood_estimate analog)."""
+        import numpy as np
+        from scipy.special import logsumexp
+
+        logf = self.log_f_values(particle_count)
+        return float(logsumexp(logf) - np.log(len(logf)))

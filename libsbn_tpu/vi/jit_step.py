@@ -527,8 +527,6 @@ class JitVBPI:
         """Sample topologies and lower them to dense step inputs."""
         import numpy as np
 
-        from ..ops import schedule as schedule_ops
-
         count = self.local_particle_count if count is None else count
         # Refresh the sampler with current SBN parameters. Prefer the native
         # bulk sampler: it emits canonical parent-id vectors that key the

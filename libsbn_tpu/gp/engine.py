@@ -482,7 +482,7 @@ class GPEngine:
         w = jnp.asarray(self.weights, per_site.dtype)
         return jnp.sum(per_site * w)
 
-    def _ascent_impl(self, bl0, q, tol, max_iter):
+    def _ascent_impl(self, bl0, q, tol, max_iter, rtol):
         """The WHOLE coordinate ascent (EstimateBranchLengths) as one XLA
         program: populate -> vectorized sweep -> damped line search ->
         convergence check, looped with lax.while_loop. On the tunneled TPU
@@ -543,7 +543,9 @@ class GPEngine:
                 lambda a, b: jnp.where(improved, a, b), plvs_t, plvs
             )
             cur_n = jnp.where(improved, m, cur)
-            done_n = (~improved) | (jnp.abs(m - cur) < tol)
+            done_n = (~improved) | (
+                jnp.abs(m - cur) < tol + rtol * jnp.abs(cur)
+            )
             return i + 1, bl_n, plvs_n, cur_n, done_n
 
         i, bl, plvs, cur, done = jax.lax.while_loop(
@@ -557,6 +559,7 @@ class GPEngine:
     def run_branch_ascent_streamed(
         self, tol: float, max_iter: int, pattern_chunk: int,
         memmap_dir: str | None = None, finalize: bool = True,
+        rtol: float = 0.0,
     ):
         """EstimateBranchLengths with PLVs that never fully materialize on
         device: the pattern axis streams through in chunks of
@@ -762,7 +765,7 @@ class GPEngine:
             if m < cur:
                 refresh_ab(bl)  # restore A/B for the current bl
                 break
-            improved_enough = abs(m - cur) >= tol
+            improved_enough = abs(m - cur) >= tol + rtol * abs(cur)
             bl, cur = trial, m
             if not improved_enough:
                 break
@@ -779,8 +782,15 @@ class GPEngine:
             self.compute_likelihoods()
         return float(cur), sweeps
 
-    def run_branch_ascent(self, tol: float, max_iter: int):
-        """Device-resident EstimateBranchLengths; returns (marginal, iters)."""
+    def run_branch_ascent(self, tol: float, max_iter: int, rtol: float = 0.0):
+        """Device-resident EstimateBranchLengths; returns (marginal, iters).
+
+        Stops when the per-sweep marginal gain falls below
+        ``tol + rtol*|marginal|``. The reference's stopping rule
+        (gp_instance.cpp:129-175) is the absolute ``tol`` alone; ``rtol``
+        is an extension for near-flat objectives (noise data) where the
+        absolute tolerance can be unreachable before ``max_iter`` —
+        see docs/performance.md "Tidy-DAG deviation" caveat."""
         if self._ascent_jit is None:
             self._ascent_jit = jax.jit(self._ascent_impl)
         bl, plvs, cur, iters = self._ascent_jit(
@@ -788,6 +798,7 @@ class GPEngine:
             jnp.asarray(self.q, self.dtype),
             jnp.asarray(tol, self.dtype),
             jnp.asarray(max_iter, jnp.int32),
+            jnp.asarray(rtol, self.dtype),
         )
         self.branch_lengths = np.asarray(bl)
         self.plvs = plvs

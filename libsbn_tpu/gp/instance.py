@@ -95,7 +95,8 @@ class GPInstance:
         self.compute_likelihoods()
 
     def estimate_branch_lengths(
-        self, tol: float, max_iter: int, quiet=True, device_loop=None
+        self, tol: float, max_iter: int, quiet=True, device_loop=None,
+        rtol: float = 0.0,
     ):
         """Coordinate ascent: vectorized branch sweeps until the marginal
         log likelihood converges (EstimateBranchLengths).
@@ -114,7 +115,7 @@ class GPInstance:
         if device_loop is None:
             device_loop = quiet
         if device_loop:
-            engine.run_branch_ascent(tol, max_iter)
+            engine.run_branch_ascent(tol, max_iter, rtol=rtol)
             return
         engine.populate_plvs()
         engine.compute_likelihoods()
@@ -155,7 +156,7 @@ class GPInstance:
                 break
             if not quiet:
                 print(f"Iteration {i + 1}: {marginal:.9f}")
-            if abs(marginal - current) < tol:
+            if abs(marginal - current) < tol + rtol * abs(current):
                 current = marginal
                 break
             current = marginal

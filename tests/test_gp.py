@@ -425,3 +425,47 @@ def test_dot_export_byte_golden():
     assert out.endswith('"6":f0->"2":f1\n}')
     assert out.count('1 [label="<f1>1"]\n') == 2  # re-emission quirk
     assert '4 [label="<f0>1,2|<f1>|<f2>0"]\n' in out
+
+
+def test_relative_tolerance_ascent():
+    """rtol stops the ascent once per-sweep gains fall below
+    tol + rtol*|marginal| — the escape hatch for near-flat objectives
+    that hit the sweep cap under an absolute tolerance alone (see
+    docs/performance.md tidy-DAG caveat; extension over the reference's
+    absolute rule, gp_instance.cpp:129-175). A generous rtol must stop
+    in no more sweeps than rtol=0 and land within rtol of its marginal;
+    rtol=0 keeps the existing behavior bit-for-bit."""
+    def fit(rtol):
+        inst = GPInstance()
+        inst.read_fasta_file(f"{DATA}/five_taxon.fasta")
+        inst.read_newick_file(f"{DATA}/five_taxon_rooted.nwk")
+        inst.make_engine()
+        m, it = inst.get_engine().run_branch_ascent(1e-8, 50, rtol=rtol)
+        return m, it
+
+    m_exact, it_exact = fit(0.0)
+    m_loose, it_loose = fit(1e-3)
+    assert it_loose <= it_exact
+    assert it_loose < it_exact  # 1e-3 of ~17 nats >> the late-sweep gains
+    assert abs(m_loose - m_exact) <= 1e-3 * abs(m_exact)
+
+    # The host-loop orchestration accepts rtol too.
+    inst = GPInstance()
+    inst.read_fasta_file(f"{DATA}/five_taxon.fasta")
+    inst.read_newick_file(f"{DATA}/five_taxon_rooted.nwk")
+    inst.make_engine()
+    inst.estimate_branch_lengths(1e-8, 50, quiet=True, device_loop=False,
+                                 rtol=1e-3)
+    m_host = float(inst.get_engine().get_log_marginal_likelihood())
+    assert abs(m_host - m_exact) <= 1e-3 * abs(m_exact)
+
+    # Streamed path: same stopping rule.
+    inst = GPInstance()
+    inst.read_fasta_file(f"{DATA}/five_taxon.fasta")
+    inst.read_newick_file(f"{DATA}/five_taxon_rooted.nwk")
+    inst.make_engine()
+    m_st, it_st = inst.get_engine().run_branch_ascent_streamed(
+        1e-8, 50, pattern_chunk=16, rtol=1e-3
+    )
+    assert it_st <= it_exact
+    assert abs(m_st - m_exact) <= 1e-3 * abs(m_exact)

@@ -107,7 +107,7 @@ def check_parity(ge, engine, sched, bl, sp):
     from libsbn_tpu.models.phylo_model import (
         PhyloModelSpec, default_parameters, model_tensors,
     )
-    from libsbn_tpu.ops import pruning, pruning_pallas
+    from libsbn_tpu.ops import pruning
 
     bl_p = np.pad(bl, ((0, 0), (0, 1))).astype(np.float32)
     if engine == "pallas":

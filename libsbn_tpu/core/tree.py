@@ -184,7 +184,9 @@ class RootedTree(Tree):
             lambda n, s, p: visit(n, p)
         )
 
-    def tag_date_map_of_date_vector(self, leaf_dates: Sequence[float]) -> Dict[Tag, float]:
+    def tag_date_map_of_date_vector(
+        self, leaf_dates: Sequence[float]
+    ) -> Dict[Tag, float]:
         assert len(leaf_dates) == self.leaf_count()
         return {(i, 1): d for i, d in enumerate(leaf_dates)}
 

@@ -26,7 +26,7 @@ Substitution model: JC69, matching gp_engine.hpp:144-155.
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -269,7 +269,9 @@ class GPInstance:
     def print_status(self):
         eng = self.engine
         print(
-            f"GPInstance: {self.tree_collection.tree_count() if self.tree_collection else 0} trees, "
+            "GPInstance: "
+            f"{self.tree_collection.tree_count() if self.tree_collection else 0}"
+            " trees, "
             f"{self.dag.node_count() if self.dag else 0} DAG nodes, "
             f"{self.dag.gpcsp_count_with_fake() if self.dag else 0} GPCSPs"
         )

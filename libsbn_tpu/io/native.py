@@ -11,11 +11,12 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
-from typing import List, Optional, Tuple
 
 import numpy as np
 
-_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 _SO_PATH = os.path.join(_REPO_ROOT, "native", "libsbn_native.so")
 
 _lib = None

@@ -44,7 +44,9 @@ def _tokenize(s: str) -> List[str]:
     while pos < len(s):
         m = _TOKEN_RE.match(s, pos)
         if m is None:
-            raise ValueError(f"Cannot tokenize newick at position {pos}: {s[pos:pos+30]!r}")
+            raise ValueError(
+                f"Cannot tokenize newick at {pos}: {s[pos:pos + 30]!r}"
+            )
         tok = m.group(1)
         pos = m.end()
         if tok.startswith("[&"):

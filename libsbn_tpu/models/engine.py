@@ -32,7 +32,6 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops import heights as heights_ops
 from ..ops import pruning, transforms
@@ -472,7 +471,10 @@ class LikelihoodEngine:
             return lls + ldjs
 
         def build():
-            def one(sched5, pre_node, pre_parent, parent, bounds, ratios, rates, params):
+            def one(
+                sched5, pre_node, pre_parent, parent, bounds, ratios,
+                rates, params,
+            ):
                 h = heights_ops.node_heights_from_ratios(
                     ratios, bounds, leaf_count, pre_node, pre_parent
                 )
@@ -519,7 +521,10 @@ class LikelihoodEngine:
             )
 
         def build():
-            def one(sched5, pre_node, pre_parent, parent, bounds, ratios, rates, params):
+            def one(
+                sched5, pre_node, pre_parent, parent, bounds, ratios,
+                rates, params,
+            ):
                 def objective(ratios_, rates_, params_):
                     h = heights_ops.node_heights_from_ratios(
                         ratios_, bounds, leaf_count, pre_node, pre_parent

@@ -104,9 +104,13 @@ def parameters_from_flat(spec: PhyloModelSpec, v) -> Dict:
             "frequencies": jnp.asarray(bs.extract_segment(v, FREQUENCIES_KEY)),
         }
     if spec.site.startswith("weibull"):
-        params["site"] = {"shape": jnp.asarray(bs.extract_segment(v, WEIBULL_SHAPE_KEY)[0])}
+        params["site"] = {
+            "shape": jnp.asarray(bs.extract_segment(v, WEIBULL_SHAPE_KEY)[0])
+        }
     if spec.clock == "strict":
-        params["clock"] = {"rate": jnp.asarray(bs.extract_segment(v, CLOCK_RATE_KEY)[0])}
+        params["clock"] = {
+            "rate": jnp.asarray(bs.extract_segment(v, CLOCK_RATE_KEY)[0])
+        }
     return params
 
 

@@ -34,7 +34,6 @@ sampled topologies per jitted launch via vmap over the leading batch axis.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -192,7 +191,9 @@ def _sched_tuple(sched):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _log_likelihood(rescale: bool, root_id: int, sched5, P, tips, freqs, props, weights):
+def _log_likelihood(
+    rescale: bool, root_id: int, sched5, P, tips, freqs, props, weights
+):
     post_node, post_children, _, _, _ = sched5
     M, logscale = _postorder_m(post_node, post_children, P, tips, rescale)
     site = _root_site_likelihoods(M, root_id, freqs, props)

@@ -27,7 +27,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pruning_pallas import _apply_mode, pad_patterns
+from .pruning_pallas import _apply_mode
 
 
 def _x64_ctx(dt):

@@ -15,7 +15,7 @@ gradients, psum over sp inside each tree's likelihood) riding ICI.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

@@ -21,7 +21,6 @@ block, in both orientations (GetSubsplitRanges).
 
 from __future__ import annotations
 
-from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ out-of-support handling costs nothing on device.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Callable, Dict, List, Tuple
 
 from ..core.topology import Topology
 from ..utils.bitset import Bitset
@@ -50,7 +50,8 @@ def parent_bitset_of(
     sister: Topology, sister_dir: bool,
     focal: Topology, focal_dir: bool,
 ) -> Bitset:
-    return _leaves(sister, sister_dir, leaf_count) + _leaves(focal, focal_dir, leaf_count)
+    return (_leaves(sister, sister_dir, leaf_count)
+            + _leaves(focal, focal_dir, leaf_count))
 
 
 def unrooted_pcsp_preorder(top: Topology, f):

@@ -8,7 +8,6 @@ the reference does (SampleIndex normalizes the log-parameter segment).
 
 from __future__ import annotations
 
-from typing import Optional
 
 import numpy as np
 
@@ -46,7 +45,9 @@ class SBNSampler:
     def sample_index(self, rng_pair) -> int:
         start, end = rng_pair
         assert start < end <= self.params.size
-        return start + int(self.rng.choice(end - start, p=self._probs_of_range(rng_pair)))
+        return start + int(
+            self.rng.choice(end - start, p=self._probs_of_range(rng_pair))
+        )
 
     def sample_topology(self, rooted: bool) -> Topology:
         rootsplit_idx = self.sample_index((0, self.support.rootsplit_count()))

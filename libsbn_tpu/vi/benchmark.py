@@ -4,7 +4,6 @@ from __future__ import annotations
 
 import os
 import timeit
-from typing import Tuple
 
 import numpy as np
 

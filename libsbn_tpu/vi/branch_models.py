@@ -8,7 +8,6 @@ branches need no special-casing.
 
 from __future__ import annotations
 
-from typing import List
 
 import numpy as np
 
@@ -55,14 +54,25 @@ class SplitModel(BranchModel):
     def sample_all(self, particle_count):
         return self.scalar_model.sample_all(particle_count)
 
+    def particle_log_probs(self, px_theta_sample, px_branch_representation):
+        """(P,) log q of each particle's branch lengths, one vectorized call
+        (the reference iterates particles through a generator)."""
+        per_branch = self.scalar_model.elementwise_log_prob(
+            np.asarray(px_theta_sample), np.asarray(px_branch_representation)
+        )
+        return per_branch.sum(axis=-1)
+
     def log_prob_generator(self, px_theta_sample, px_branch_representation):
-        for particle_idx, branch_to_split in enumerate(px_branch_representation):
-            yield self.scalar_model.log_prob(
-                px_theta_sample[particle_idx, :], which_variables=branch_to_split
-            )
+        yield from self.particle_log_probs(
+            px_theta_sample, px_branch_representation
+        )
 
     def log_prob(self, px_theta_sample, px_branch_representation):
-        return sum(self.log_prob_generator(px_theta_sample, px_branch_representation))
+        return float(
+            self.particle_log_probs(
+                px_theta_sample, px_branch_representation
+            ).sum()
+        )
 
     def sample_and_gradients(self, px_branch_representation):
         return self.scalar_model.sample_and_gradients(px_branch_representation)
@@ -143,18 +153,35 @@ class PSPModel(BranchModel):
             p[:, 0], p[:, 1], (particle_count, self.after_rootsplits_index)
         )
 
+    def particle_log_probs(self, px_theta_sample, px_branch_representation):
+        """(P,) log q per particle: each branch is lognormal with (mu, sigma)
+        summed over its three PSP components, evaluated in one vectorized
+        call over the whole (P, B) sample."""
+        px = np.asarray(px_branch_representation)  # (P, 3, B)
+        summed = self.q_params[px].sum(axis=-3)  # (P, B, 2)
+        per_branch = scalar_models.LogNormalModel.elementwise_general_log_prob(
+            np.asarray(px_theta_sample), summed[..., 0], summed[..., 1]
+        )
+        return per_branch.sum(axis=-1)
+
     def log_prob_one(self, theta, branch_representation):
-        p = self._make_lognormal_params(branch_representation)
-        return scalar_models.LogNormalModel.general_log_prob(
-            theta, p[:, 0], p[:, 1]
+        return float(
+            self.particle_log_probs(
+                np.asarray(theta)[None], np.asarray(branch_representation)[None]
+            )[0]
         )
 
     def log_prob_generator(self, px_theta_sample, px_branch_representation):
-        for i, rep in enumerate(px_branch_representation):
-            yield self.log_prob_one(px_theta_sample[i], rep)
+        yield from self.particle_log_probs(
+            px_theta_sample, px_branch_representation
+        )
 
     def log_prob(self, px_theta_sample, px_branch_representation):
-        return sum(self.log_prob_generator(px_theta_sample, px_branch_representation))
+        return float(
+            self.particle_log_probs(
+                px_theta_sample, px_branch_representation
+            ).sum()
+        )
 
     def sample_and_gradients(self, px_branch_representation):
         """As in LogNormalModel but each branch's (mu, sigma) is the sum over

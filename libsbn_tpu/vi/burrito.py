@@ -18,7 +18,6 @@ TPU-native data flow per gradient step:
 
 from __future__ import annotations
 
-from typing import Optional
 
 import numpy as np
 from scipy.special import logsumexp
@@ -170,12 +169,8 @@ class Burrito:
     def px_log_f(self, px_phylo_log_like, px_theta_sample, px_branch_representation):
         px_log_prior = self.branch_model.log_prior(px_theta_sample)
         px_log_sbn_prob = np.log(self.inst.calculate_sbn_probabilities())
-        px_branch_log_prob = np.array(
-            list(
-                self.branch_model.log_prob_generator(
-                    px_theta_sample, px_branch_representation
-                )
-            )
+        px_branch_log_prob = self.branch_model.particle_log_probs(
+            px_theta_sample, px_branch_representation
         )
         return (
             px_phylo_log_like + px_log_prior - px_log_sbn_prob - px_branch_log_prob

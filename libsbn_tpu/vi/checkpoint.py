@@ -10,7 +10,6 @@ via the instance API.
 from __future__ import annotations
 
 import json
-from typing import Optional
 
 import numpy as np
 

@@ -14,7 +14,9 @@ def build_parser() -> argparse.ArgumentParser:
         "--branch-model", choices=["split", "psp"], default="split"
     )
     bench.add_argument(
-        "--scalar-model", choices=["lognormal", "tf_lognormal", "tf_gamma", "tf_truncated_lognormal"],
+        "--scalar-model",
+        choices=["lognormal", "tf_lognormal", "tf_gamma",
+                 "tf_truncated_lognormal"],
         default="lognormal"
     )
     bench.add_argument("--optimizer", choices=["simple", "bump"], default="simple")

@@ -345,7 +345,6 @@ class JitVBPI:
                  branch_model: str = "split", use_pallas=None):
         import numpy as np
 
-        from ..models.phylo_model import PhyloModelSpec
         from ..ops import substitution
 
         self.inst = inst

@@ -14,7 +14,6 @@ reference so BranchModel.scalar_grad composes identically):
 
 from __future__ import annotations
 
-from typing import Optional
 
 import numpy as np
 
@@ -34,7 +33,12 @@ class ScalarModel:
         return self.q_params.shape[1]
 
     def suggested_step_size(self):
-        return np.average(np.abs(self.q_params), axis=0) / 100
+        """1% of the mean parameter magnitude, per parameter column."""
+        return 0.01 * np.mean(np.abs(self.q_params), axis=0)
+
+    def elementwise_log_prob(self, values, which_variables):
+        """log q(value_i) per entry; shapes broadcast ((P,B) or (B,))."""
+        raise NotImplementedError
 
 
 class LogNormalModel(ScalarModel):
@@ -97,22 +101,32 @@ class LogNormalModel(ScalarModel):
         return sample, dg_dpsi, dlog_qg_dpsi
 
     @staticmethod
+    def elementwise_general_log_prob(values, mu, sigma):
+        """Lognormal log density per entry: a normal logpdf on z = log(x)
+        plus the |dz/dx| = 1/x change-of-variables term."""
+        z = np.log(np.asarray(values))
+        standardized = (z - mu) / sigma
+        normal_logpdf = (
+            -0.5 * standardized**2 - np.log(sigma) - 0.5 * np.log(2 * np.pi)
+        )
+        return normal_logpdf - z
+
+    @staticmethod
     def general_log_prob(values, mu, sigma):
-        log_values = np.log(values)
-        ratio = (log_values - mu) ** 2 / (2 * sigma**2)
-        return -(
-            np.sum(log_values)
-            + np.sum(np.log(sigma))
-            + values.size * 0.5 * np.log(2 * np.pi)
-            + np.sum(ratio)
+        return np.sum(
+            LogNormalModel.elementwise_general_log_prob(values, mu, sigma)
+        )
+
+    def elementwise_log_prob(self, values, which_variables):
+        which = np.asarray(which_variables)
+        return LogNormalModel.elementwise_general_log_prob(
+            values, self.q_params[which, 0], self.q_params[which, 1]
         )
 
     def log_prob(self, values, which_variables):
         values = np.asarray(values)
         assert values.size == np.asarray(which_variables).size
-        return LogNormalModel.general_log_prob(
-            values, self.mu(which_variables), self.sigma(which_variables)
-        )
+        return float(np.sum(self.elementwise_log_prob(values, which_variables)))
 
 
 class ADScalarModel(ScalarModel):
@@ -171,13 +185,14 @@ class ADScalarModel(ScalarModel):
         key = self._next_key(None)
         return np.asarray(self._sample(key, psi))
 
-    def log_prob(self, values, which_variables):
+    def elementwise_log_prob(self, values, which_variables):
         import jax.numpy as jnp
 
         psi = jnp.asarray(self.q_params[np.asarray(which_variables)])
-        return float(
-            np.sum(np.asarray(self._log_prob(jnp.asarray(values), psi)))
-        )
+        return np.asarray(self._log_prob(jnp.asarray(values), psi))
+
+    def log_prob(self, values, which_variables):
+        return float(np.sum(self.elementwise_log_prob(values, which_variables)))
 
     def sample_and_gradients(self, px_which_variables):
         import jax

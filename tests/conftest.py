@@ -24,6 +24,30 @@ import pytest
 DATA = "/root/reference/data"
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run tests marked slow (the >30 s tail; the full round "
+        "gate). Default runs are the fast tier, the analog of the "
+        "reference's `make fasttest` (Makefile:17-21).",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: >30 s wall; excluded by default, run with --runslow"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip_slow = pytest.mark.skip(reason="slow tier; pass --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)
+
+
 @pytest.fixture(scope="session")
 def data_dir():
     return DATA

@@ -4,7 +4,6 @@
 import json
 
 import numpy as np
-import pytest
 
 from libsbn_tpu import RootedInstance, UnrootedInstance
 from libsbn_tpu.core.topology import Topology

@@ -1,6 +1,5 @@
 """End-to-end vip-benchmark and optimizer behavior tests."""
 
-import os
 import shutil
 
 import numpy as np

@@ -2,11 +2,9 @@
 (gp_doctest.cpp:414-597, rooted_sbn_instance.hpp:194-216)."""
 
 import numpy as np
-import pytest
 from scipy.special import logsumexp
 
 from libsbn_tpu import RootedInstance
-from libsbn_tpu.gp import GPInstance
 from libsbn_tpu.gp.quartet import quartet_hybrid_request_of
 from libsbn_tpu.sbn import maps as sbn_maps
 from libsbn_tpu.utils.bitset import Bitset

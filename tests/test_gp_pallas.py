@@ -5,6 +5,7 @@ differ from the XLA path's per-node scalars, so parity is gated on the
 scale-invariant quantities: likelihood rows, marginals, per-GPCSP LLs, and
 the branch-optimization output driven from the kernel's PLVs."""
 
+import pytest
 import numpy as np
 
 from libsbn_tpu.gp import GPInstance
@@ -119,6 +120,7 @@ def test_pallas_f32_interpret_tracks_f64():
     assert abs(marg32 - marg64) < 1e-2 * (1 + abs(marg64))
 
 
+@pytest.mark.slow
 def test_device_ascent_matches_host_loop():
     """run_branch_ascent (one-program coordinate ascent) reproduces the
     host loop's fit on both populate paths (f64, CPU)."""

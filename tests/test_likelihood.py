@@ -154,6 +154,7 @@ def test_tip_states_mode_matches_tip_partials(ds1):
     assert states._tip_codes.dtype == np.int32
 
 
+@pytest.mark.slow
 def test_gtr_weibull_batched_100_topologies(data_dir):
     """BASELINE.json config: batched GTR + 4-category likelihood over
     DS1.100_topologies.nwk (one vmapped program across all 100 trees)."""

@@ -41,7 +41,9 @@ def test_gtr_default_matches_jc():
     _, _, _, evals_gtr = substitution.gtr_eigen(
         np.full(6, 1.0 / 6.0), np.full(4, 0.25)
     )
-    np.testing.assert_allclose(sorted(np.asarray(evals_gtr)), sorted(np.asarray(evals_jc)), atol=1e-4)
+    np.testing.assert_allclose(
+        sorted(np.asarray(evals_gtr)), sorted(np.asarray(evals_jc)), atol=1e-4
+    )
 
 
 def test_gtr_eigenvalues_vs_r():

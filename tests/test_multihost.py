@@ -5,13 +5,13 @@ process holds 2 virtual devices, the dp=4 mesh spans both, each host samples
 its local half of the particle batch, and the replicated parameters must stay
 bit-identical across hosts after allreduced updates."""
 
+import pytest
 import os
 import re
 import socket
 import subprocess
 import sys
 
-import pytest
 
 
 def _free_port():
@@ -22,6 +22,7 @@ def _free_port():
     return port
 
 
+@pytest.mark.slow
 def test_two_process_vbpi():
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)

@@ -99,7 +99,6 @@ def test_native_schedules_match_python(lib, data_dir):
 
 def test_native_schedule_likelihood_equivalence(lib, data_dir):
     """Likelihoods and gradients through native schedules match Python ones."""
-    import jax.numpy as jnp
 
     from libsbn_tpu.core.site_pattern import SitePattern
     from libsbn_tpu.io.fasta import Alignment

@@ -55,6 +55,7 @@ def _scan_reference(sched, bl_p, sp, dtype):
 
 
 @pytest.mark.parametrize("dtype,tol", [(jnp.float64, 1e-9), (jnp.float32, 2e-2)])
+@pytest.mark.slow
 def test_pallas_matches_scan_engine(ds1, dtype, tol):
     sched, bl, sp = ds1
     bl_p = np.pad(bl, ((0, 0), (0, 1)))
@@ -101,7 +102,11 @@ def test_pallas_hello_golden():
     np.testing.assert_allclose(float(ll[0]), -84.852358, atol=1e-6)
 
 
-@pytest.mark.parametrize("sub,site", [("JC69", "weibull+4"), ("GTR", "constant"), ("GTR", "weibull+4")])
+@pytest.mark.parametrize(
+    "sub,site",
+    [("JC69", "weibull+4"), ("GTR", "constant"), ("GTR", "weibull+4")],
+)
+@pytest.mark.slow
 def test_pallas_k_categories_matches_scan(ds1, sub, site):
     """K-category kernel (GTR, Weibull+4) vs the scan engine at f64/1e-9."""
     from libsbn_tpu.models.phylo_model import PhyloModelSpec, default_parameters, model_tensors
@@ -191,6 +196,7 @@ def test_pallas_sharded_matches_local(ds1):
     np.testing.assert_array_equal(np.asarray(g_s), np.asarray(g))
 
 
+@pytest.mark.slow
 def test_engine_pallas_paths_match_scan(ds1):
     """Engine-level Pallas (interpret) vs scan: lls, branch gradients, and
     the AD model-parameter gradients through the dP custom_vjp."""

@@ -1,12 +1,12 @@
 """Per-tree phylo-model parameter matrix + assorted binding-parity APIs
 (generic_sbn_instance.hpp:221-270, pylibsbn.cpp:192-200,231,378,388-413)."""
 
+import pytest
 import csv
 import os
 import tempfile
 
 import numpy as np
-import pytest
 
 from libsbn_tpu import RootedInstance, UnrootedInstance
 from libsbn_tpu import ratio_gradient_of_height_gradient
@@ -74,6 +74,7 @@ def test_param_matrix_per_tree_rows():
     np.testing.assert_allclose(mixed, expected, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_param_matrix_per_tree_gradients():
     inst = make_gtr_instance()
     blocks = inst.get_phylo_model_param_block_map()
@@ -95,6 +96,7 @@ def test_param_matrix_per_tree_gradients():
     )
 
 
+@pytest.mark.slow
 def test_param_matrix_per_tree_gradients_match_loop():
     """The single vmapped per-tree-parameter gradient program equals an
     explicit loop that sets each row as shared params (the reference's
@@ -123,6 +125,7 @@ def test_param_matrix_per_tree_gradients_match_loop():
             )
 
 
+@pytest.mark.slow
 def test_rooted_per_tree_param_gradients(data_dir):
     """Rooted time-tree gradients with heterogeneous parameter rows run as
     one batched program and match the shared path row-by-row."""
@@ -183,6 +186,7 @@ def test_resize_preserves_prefix():
     )
 
 
+@pytest.mark.slow
 def test_ratio_gradient_of_height_gradient_fd():
     """J^T g matches central finite differences of g . heights(ratios)."""
     inst = RootedInstance("ratio grad")

@@ -1,13 +1,12 @@
 """Rooted time-tree parity tests vs physher/phylotorch golden numbers
 (/root/reference/src/rooted_sbn_instance.hpp:246-378)."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from libsbn_tpu.core.site_pattern import SitePattern
-from libsbn_tpu.core.tree import RootedTree, RootedTreeCollection, TreeCollection, Tree
+from libsbn_tpu.core.tree import RootedTree, RootedTreeCollection
 from libsbn_tpu.io import newick
 from libsbn_tpu.io.fasta import Alignment
 from libsbn_tpu.models.engine import LikelihoodEngine

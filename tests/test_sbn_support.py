@@ -1,7 +1,6 @@
 """SBN support/indexer/PSP tests mirroring the reference doctests
 (unrooted_sbn_instance.hpp:89-204, rooted_sbn_instance.hpp:115-192)."""
 
-import numpy as np
 import pytest
 
 from libsbn_tpu import RootedInstance, UnrootedInstance

@@ -1,11 +1,11 @@
 """Scale and instance-level robustness tests."""
 
-import numpy as np
 import pytest
+import numpy as np
 
 from libsbn_tpu import RootedInstance, UnrootedInstance
 from libsbn_tpu.core.topology import Topology
-from libsbn_tpu.models.phylo_model import PhyloModelSpec, default_parameters
+from libsbn_tpu.models.phylo_model import PhyloModelSpec
 
 DATA = "/root/reference/data"
 
@@ -21,6 +21,7 @@ def random_unrooted(n, rng):
     return t
 
 
+@pytest.mark.slow
 def test_support_and_em_at_scale(tmp_path):
     """200 random 30-taxon trees: support build, SA, EM, probabilities,
     sampling, and topology gradients all stay finite and consistent."""

@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 from libsbn_tpu.core.topology import Topology
-from libsbn_tpu.core.tree import RootedTree, Tree, UnrootedTree
+from libsbn_tpu.core.tree import RootedTree, UnrootedTree
 
 
 def test_triple_preorder():

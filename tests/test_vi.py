@@ -193,6 +193,7 @@ def test_optimizer_trajectory_golden():
 @pytest.mark.parametrize(
     "name", ["tf_lognormal", "tf_gamma", "tf_truncated_lognormal"]
 )
+@pytest.mark.slow
 def test_ad_scalar_models(name):
     """The AD scalar-model zoo (reference: TFScalarModel wrappers): samplers,
     densities, and gradients are finite; the AD lognormal's gradients match
@@ -223,6 +224,7 @@ def test_ad_lognormal_matches_hand_coded():
     np.testing.assert_allclose(dq[0], hand_dq[0], rtol=1e-8)
 
 
+@pytest.mark.slow
 def test_burrito_with_gamma_scalar_model():
     burro = Burrito(
         mcmc_nexus_path=f"{DATA}/hello_out.t",
@@ -302,6 +304,7 @@ def test_jit_vbpi_psp_matches_reference_gradient(data_dir):
     assert np.mean(lls[-10:]) > np.mean(lls[:10])
 
 
+@pytest.mark.slow
 def test_step_many_matches_step_trajectory(data_dir):
     """step_many(K) samples the K-step window's topologies from SBN params
     frozen at dispatch (up to K-1 updates stale); the MC gradient must

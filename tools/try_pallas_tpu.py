@@ -23,7 +23,11 @@ blb = np.tile(bl_p, (reps, 1))[:B]
 rng = np.random.default_rng(0)
 blb = (blb * rng.uniform(0.8, 1.2, blb.shape)).astype(np.float32)
 
-P_b = jax.jit(jax.vmap(lambda b: pruning.node_transition_matrices(evec, ivec, evals, b, rates)))(jnp.asarray(blb))
+P_b = jax.jit(
+    jax.vmap(
+        lambda b: pruning.node_transition_matrices(evec, ivec, evals, b, rates)
+    )
+)(jnp.asarray(blb))
 
 t0 = time.time()
 import os

@@ -63,12 +63,17 @@ class ForestSchedule:
     # Per internal down node (ids L..n_down-1, level-sorted):
     down_kids: np.ndarray  # (n_down - L, 3) child down ids, ones-padded
     down_bl: np.ndarray  # (n_down,) split id of the edge above each down node
-    down_levels: Tuple[Tuple[int, int], ...]  # contiguous [start, end) per level
+    # Contiguous (start, mid, end) per level: [start, mid) are binary nodes,
+    # [mid, end) trifurcating (tree roots) — the kernels skip the ones-slot
+    # multiply for the binary majority.
+    down_levels: Tuple[Tuple[int, int, int], ...]
     # Per up node (id 0 = root context, level-sorted):
     up_parent: np.ndarray  # (n_up,) parent up id
     up_pbl: np.ndarray  # (n_up,) split id of the edge above the parent
     up_sibs: np.ndarray  # (n_up, 2) sibling down ids, ones-padded
-    up_levels: Tuple[Tuple[int, int], ...]
+    # (start, mid, end) per level: [start, mid) have one sibling,
+    # [mid, end) two (children of trifurcating roots).
+    up_levels: Tuple[Tuple[int, int, int], ...]
     # Unique edges:
     edge_up: np.ndarray  # (n_edges,)
     edge_down: np.ndarray  # (n_edges,)
@@ -174,9 +179,10 @@ def build_forest(tops: Sequence[Topology]) -> ForestSchedule:
 
     tree_root = np.array([down(t) for t in tops], dtype=np.int32)
 
-    # Level-sort internals: old uid -> new id (leaves keep 0..L-1).
+    # Level-sort internals (binary before trifurcating within a level):
+    # old uid -> new id (leaves keep 0..L-1).
     internal = sorted(range(leaf_count, len(down_kids)),
-                      key=lambda u: down_level[u])
+                      key=lambda u: (down_level[u], len(down_kids[u]) > 2))
     remap = np.empty((len(down_kids),), dtype=np.int32)
     remap[:leaf_count] = np.arange(leaf_count)
     for new, old in enumerate(internal):
@@ -197,12 +203,18 @@ def build_forest(tops: Sequence[Topology]) -> ForestSchedule:
             kids_arr[new - leaf_count, : len(ks)] = ks
     tree_root = remap[tree_root]
 
-    down_levels: List[Tuple[int, int]] = []
+    down_levels: List[Tuple[int, int, int]] = []
     start = leaf_count
     for lvl in range(1, int(levels_of.max()) + 1):
         end = start + int(np.sum(levels_of[leaf_count:] == lvl))
-        down_levels.append((start, end))
+        n_tri = int(np.sum(
+            kids_arr[start - leaf_count:end - leaf_count, 2] != ones
+        ))
+        down_levels.append((start, end - n_tri, end))
         assert np.all(levels_of[start:end] == lvl), "ids must be level-sorted"
+        assert np.all(
+            kids_arr[start - leaf_count:end - n_tri - leaf_count, 2] == ones
+        )
         start = end
     assert start == n_down
 
@@ -273,8 +285,10 @@ def build_forest(tops: Sequence[Topology]) -> ForestSchedule:
         walk(ti, t, 0, int(tree_root[ti]), zero_slot)
     assert np.all(tree_edge >= 0)
 
-    # Level-sort up nodes (id 0 stays put: it is the unique level-0 node).
-    order = sorted(range(len(up_parent)), key=lambda u: up_level[u])
+    # Level-sort up nodes, one-sibling before two within a level (id 0
+    # stays put: it is the unique level-0 node).
+    order = sorted(range(len(up_parent)),
+                   key=lambda u: (up_level[u], up_sibs[u][1] != ones))
     assert order[0] == 0
     up_remap = np.empty((len(up_parent),), dtype=np.int32)
     for new, old in enumerate(order):
@@ -290,12 +304,14 @@ def build_forest(tops: Sequence[Topology]) -> ForestSchedule:
         up_pbl_arr[new] = up_pbl[old]
         up_sibs_arr[new] = up_sibs[old]
         up_lvl_arr[new] = up_level[old]
-    up_levels: List[Tuple[int, int]] = []
+    up_levels: List[Tuple[int, int, int]] = []
     start = 1
     for lvl in range(1, int(up_lvl_arr.max()) + 1):
         end = start + int(np.sum(up_lvl_arr == lvl))
-        up_levels.append((start, end))
+        n_two = int(np.sum(up_sibs_arr[start:end, 1] != ones))
+        up_levels.append((start, end - n_two, end))
         assert np.all(up_lvl_arr[start:end] == lvl)
+        assert np.all(up_sibs_arr[start:end - n_two, 1] == ones)
         start = end
     assert start == n_up
     edge_up_arr = up_remap[np.asarray(edge_up, dtype=np.int32)]
@@ -364,7 +380,7 @@ def forest_log_likelihoods_and_gradients(
     )
     ls_d = jnp.zeros((fs.n_down + 1, n_pat), dtype=dtype)
 
-    for (a, b) in fs.down_levels:
+    for (a, _, b) in fs.down_levels:
         kids = fs.down_kids[a - L:b - L]  # (n, 3)
         ke = Ed[kids]  # (n, 3, K, 4, Pp)
         prod = ke[:, 0] * ke[:, 1] * ke[:, 2]
@@ -382,7 +398,7 @@ def forest_log_likelihoods_and_gradients(
     # Up pass.
     U = jnp.zeros((fs.n_up, K, 4, n_pat), dtype=dtype)
     U = U.at[0].set(jnp.asarray(freqs)[None, :, None].astype(dtype))
-    for (a, b) in fs.up_levels:
+    for (a, _, b) in fs.up_levels:
         par = fs.up_parent[a:b]
         pu = U[par]  # (n, K, 4, Pp)
         pp = Pmat[fs.up_pbl[a:b]]  # (n, K, 4, 4)
@@ -414,6 +430,115 @@ def forest_log_likelihoods_and_gradients(
 
     grad = edge_grad[fs.tree_edge]  # (T, node_count - 1)
     return ll, grad
+
+
+def _jc_coeffs(bl):
+    """JC69 closed form P(t) = b·I + a·J/4 with b = exp(-4t/3), a = 1-b,
+    so evolve(v) = b·v + (a/4)·Σ_states v — matrix-free, 2 FLOPs/element
+    (gp_engine.hpp:144-155 hardcodes the same eigensystem; we skip the
+    matrices entirely). The exponential runs in f64 (BASELINE.md precision
+    policy) and is symmetric, so the up pass reuses it un-transposed."""
+    t64 = jnp.asarray(bl).astype(jnp.float64)
+    b = jnp.exp(-4.0 * t64 / 3.0)
+    a = 1.0 - b
+    return a, b
+
+
+def forest_jc_log_likelihoods_and_gradients(
+    fs: ForestSchedule,
+    bl_splits,
+    tips,
+    weights,
+    rescale: bool = True,
+    ll_only: bool = False,
+    dtype=jnp.float32,
+):
+    """Matrix-free JC69 forest evaluation — the production bench path.
+
+    Identical results to forest_log_likelihoods_and_gradients with the
+    JC69 eigensystem (tested); ~1.7x faster on TPU because every 4x4
+    contraction collapses to a broadcast-FMA and the gradient numerator
+    needs only state sums: the normalized JC69 rate matrix is
+    Q = (4/3)(J/4 − I), so
+        num = Σ_x U_x (QE)_x = (4/3)((Σ E)(Σ U)/4 − Σ_x U_x E_x),
+    and grad_e = (4/3)·Σ_s w_s ((See·Sue)/(4·denom) − 1).
+    Returns (ll (T,), grad (T, node_count-1)) — grad is None if ll_only."""
+    S = tips.shape[-1]
+    L = fs.leaf_count
+    a_all, b_all = _jc_coeffs(
+        jnp.concatenate([jnp.asarray(bl_splits),
+                         jnp.zeros((1,), jnp.asarray(bl_splits).dtype)])
+    )
+    a_all = a_all.astype(dtype)
+    b_all = b_all.astype(dtype)
+
+    def evolve(idx, V):
+        a = a_all[idx][:, None, None]
+        b = b_all[idx][:, None, None]
+        return b * V + (a * 0.25) * jnp.sum(V, axis=1, keepdims=True)
+
+    tips = jnp.asarray(tips).astype(dtype)
+    Md = jnp.ones((fs.n_down + 1, 4, S), dtype)
+    Md = Md.at[:L].set(tips)
+    Ed = jnp.ones((fs.n_down + 1, 4, S), dtype)
+    Ed = Ed.at[:L].set(evolve(fs.down_bl[:L], tips))
+    ls_d = jnp.zeros((fs.n_down + 1, S), dtype)
+    w = jnp.asarray(weights).astype(dtype)
+
+    for (a0, mid, b0) in fs.down_levels:
+        parts, lss = [], []
+        if mid > a0:  # binary nodes: skip the ones-slot multiply
+            k = fs.down_kids[a0 - L:mid - L]
+            parts.append(Ed[k[:, 0]] * Ed[k[:, 1]])
+            lss.append(ls_d[k[:, 0]] + ls_d[k[:, 1]])
+        if b0 > mid:  # trifurcating tree roots
+            k = fs.down_kids[mid - L:b0 - L]
+            parts.append(Ed[k[:, 0]] * Ed[k[:, 1]] * Ed[k[:, 2]])
+            lss.append(ls_d[k[:, 0]] + ls_d[k[:, 1]] + ls_d[k[:, 2]])
+        prod = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        ls = lss[0] if len(lss) == 1 else jnp.concatenate(lss)
+        if rescale:
+            scale = jnp.max(prod, axis=1)
+            scale = jnp.where(scale > 0, scale, jnp.ones_like(scale))
+            prod = prod / scale[:, None, :]
+            ls = ls + jnp.log(scale)
+        Md = jax.lax.dynamic_update_slice(Md, prod, (a0, 0, 0))
+        Ed = jax.lax.dynamic_update_slice(
+            Ed, evolve(fs.down_bl[a0:b0], prod), (a0, 0, 0)
+        )
+        ls_d = jax.lax.dynamic_update_slice(ls_d, ls, (a0, 0))
+
+    site = 0.25 * jnp.sum(Md[fs.tree_root], axis=1)  # (T, S)
+    ll = jnp.sum(w[None, :] * (jnp.log(site) + ls_d[fs.tree_root]), axis=-1)
+    if ll_only:
+        return ll, None
+
+    U = jnp.zeros((fs.n_up, 4, S), dtype)
+    U = U.at[0].set(0.25)
+    for (a0, mid, b0) in fs.up_levels:
+        evolved = evolve(fs.up_pbl[a0:b0], U[fs.up_parent[a0:b0]])
+        parts = []
+        if mid > a0:  # one sibling
+            parts.append(evolved[:mid - a0] * Ed[fs.up_sibs[a0:mid, 0]])
+        if b0 > mid:  # two siblings (children of trifurcating roots)
+            sib = fs.up_sibs[mid:b0]
+            parts.append(evolved[mid - a0:] * Ed[sib[:, 0]] * Ed[sib[:, 1]])
+        u = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        if rescale:
+            scale = jnp.max(u, axis=1)
+            scale = jnp.where(scale > 0, scale, jnp.ones_like(scale))
+            u = u / scale[:, None, :]
+        U = jax.lax.dynamic_update_slice(U, u, (a0, 0, 0))
+
+    Ue = U[fs.edge_up]
+    Ee = Ed[fs.edge_down]
+    denom = jnp.sum(Ue * Ee, axis=1)  # (E, S)
+    Sue = jnp.sum(Ue, axis=1)
+    See = jnp.sum(Ee, axis=1)
+    edge_grad = (4.0 / 3.0) * jnp.sum(
+        w[None, :] * (0.25 * See * Sue / denom - 1.0), axis=-1
+    )
+    return ll, edge_grad[fs.tree_edge]
 
 
 def forest_stats(fs: ForestSchedule) -> Dict[str, float]:

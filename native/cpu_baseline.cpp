@@ -139,6 +139,8 @@ double eval_tree(const int32_t* post_children,  // (n_internal, 3)
     if (weights[p] != T(0))
       ll += (double)weights[p] * std::log((double)sc.sitelik[p]);
 
+  if (grad_out == nullptr) return ll;  // LL-only mode (bench config 2)
+
   // Preorder uppers + fused edge gradients.
   T* Ur = &sc.upper[(size_t)root * plane];
   for (int i = 0; i < 4; ++i)
@@ -218,8 +220,8 @@ void run_batch(const int32_t* post_children,  // (n_trees, n_internal, 3)
 #pragma omp for schedule(dynamic)
 #endif
     for (int32_t t = 0; t < n_trees; ++t) {
-      double* g = out_grad + (size_t)t * N;
-      std::memset(g, 0, (size_t)N * sizeof(double));
+      double* g = out_grad ? out_grad + (size_t)t * N : nullptr;
+      if (g) std::memset(g, 0, (size_t)N * sizeof(double));
       out_ll[t] = eval_tree<T>(
           post_children + (size_t)t * n_internal * 3,
           up_node + (size_t)t * n_up, up_parent + (size_t)t * n_up,
@@ -236,6 +238,8 @@ extern "C" {
 // Evaluate LL + branch gradient for n_trees trees. All schedule arrays
 // are per-tree (same shapes across trees — same taxon count): see
 // run_batch signature. dtype_bits selects float (32) or double (64).
+// Passing out_grad == NULL computes log-likelihoods only (the batched-
+// likelihood bench config skips the two-pass gradient).
 void lsbn_cpu_baseline_eval(const int32_t* post_children,
                             const int32_t* up_node, const int32_t* up_parent,
                             const int32_t* up_sibs, const double* bl,
@@ -252,6 +256,88 @@ void lsbn_cpu_baseline_eval(const int32_t* post_children,
     run_batch<double>(post_children, up_node, up_parent, up_sibs, bl, tips,
                       weights, n_trees, L, N, n_up, S, threads, out_ll,
                       out_grad);
+}
+
+
+// K-category log-likelihood-only evaluation with caller-precomputed
+// transition matrices (any substitution/site model — GTR, Weibull rates —
+// becomes a P tensor on the Python side; the native side is the pruning
+// recursion itself, the BEAGLE-CPU role for the batched-likelihood bench
+// config). P: (n_trees, N+1, K, 4, 4); tips: (L, 4, S); props: (K,);
+// freqs: (4,). out_ll: (n_trees,).
+void lsbn_cpu_baseline_eval_pk(const int32_t* post_children, const double* P,
+                               const double* tips64, const double* weights64,
+                               const double* props, const double* freqs,
+                               int32_t n_trees, int32_t L, int32_t N,
+                               int32_t K, int32_t S, int32_t threads,
+                               double* out_ll) {
+  using T = double;
+  const int W = 64 / (int)sizeof(T);
+  const int Sp = (S + W - 1) / W * W;
+  const size_t plane = (size_t)4 * Sp;
+  std::vector<T> tips((size_t)L * plane, T(1));
+  for (int l = 0; l < L; ++l)
+    for (int i = 0; i < 4; ++i)
+      for (int p = 0; p < S; ++p)
+        tips[(size_t)l * plane + (size_t)i * Sp + p] =
+            tips64[((size_t)l * 4 + i) * S + p];
+  std::vector<T> weights(Sp, T(0));
+  for (int p = 0; p < S; ++p) weights[p] = weights64[p];
+  const int n_internal = N - L;
+  const int ones = N;
+#ifdef _OPENMP
+  if (threads > 0) omp_set_num_threads(threads);
+#pragma omp parallel
+#endif
+  {
+    std::vector<T> part((size_t)(N + 1) * plane, T(1));
+    std::vector<T> evolved(plane);
+    std::vector<T> site(Sp);
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic)
+#endif
+    for (int32_t t = 0; t < n_trees; ++t) {
+      std::fill(site.begin(), site.end(), T(0));
+      for (int k = 0; k < K; ++k) {
+        std::memcpy(part.data(), tips.data(),
+                    (size_t)L * plane * sizeof(T));
+        for (size_t q = 0; q < plane; ++q)
+          part[(size_t)ones * plane + q] = T(1);
+        for (int s = 0; s < n_internal; ++s) {
+          const int node = L + s;
+          T* dst = &part[(size_t)node * plane];
+          bool first = true;
+          for (int c3 = 0; c3 < 3; ++c3) {
+            const int c = post_children[((size_t)t * n_internal + s) * 3 + c3];
+            if (c == ones) continue;
+            const double* Pm =
+                P + ((((size_t)t * (N + 1) + c) * K + k) * 16);
+            T Pc[16];
+            for (int q = 0; q < 16; ++q) Pc[q] = Pm[q];
+            matvec4(Pc, &part[(size_t)c * plane], evolved.data(), Sp);
+            if (first) {
+              std::memcpy(dst, evolved.data(), plane * sizeof(T));
+              first = false;
+            } else {
+#pragma omp simd
+              for (int q = 0; q < (int)plane; ++q) dst[q] *= evolved[q];
+            }
+          }
+        }
+        const T* rp = &part[(size_t)(N - 1) * plane];
+#pragma omp simd
+        for (int p = 0; p < Sp; ++p)
+          site[p] += (T)props[k] *
+                     ((T)freqs[0] * rp[p] + (T)freqs[1] * rp[Sp + p] +
+                      (T)freqs[2] * rp[2 * Sp + p] +
+                      (T)freqs[3] * rp[3 * Sp + p]);
+      }
+      double ll = 0.0;
+      for (int p = 0; p < Sp; ++p)
+        if (weights[p] != T(0)) ll += (double)weights[p] * std::log((double)site[p]);
+      out_ll[t] = ll;
+    }
+  }
 }
 
 }  // extern "C"

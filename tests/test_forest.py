@@ -68,6 +68,45 @@ def test_forest_five_taxon():
     assert stats["op_sharing"] >= 1.0
 
 
+def _forest_jc_vs_generic(tops, sp):
+    """The matrix-free JC69 path must match the generic einsum path in f64."""
+    for t in tops:
+        t.polish()
+    fs = forest.build_forest(tops)
+    rng = np.random.default_rng(3)
+    bl_splits = jnp.asarray(rng.uniform(0.02, 0.2, fs.n_splits))
+    freqs, evec, ivec, evals = substitution.jc69_eigen()
+    tips = jnp.asarray(sp.tip_partials())
+    w = jnp.asarray(sp.weights)
+    ll_g, grad_g = forest.forest_log_likelihoods_and_gradients(
+        fs, bl_splits, evec, ivec, evals, substitution.jc69_q()[None],
+        tips, freqs, jnp.ones(1), jnp.ones(1), w,
+    )
+    ll_j, grad_j = forest.forest_jc_log_likelihoods_and_gradients(
+        fs, bl_splits, tips, w, dtype=jnp.float64
+    )
+    np.testing.assert_allclose(np.asarray(ll_j), np.asarray(ll_g), rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(grad_j), np.asarray(grad_g), rtol=1e-8, atol=1e-9
+    )
+    ll_o, none = forest.forest_jc_log_likelihoods_and_gradients(
+        fs, bl_splits, tips, w, dtype=jnp.float64, ll_only=True
+    )
+    assert none is None
+    np.testing.assert_allclose(np.asarray(ll_o), np.asarray(ll_g), rtol=1e-10)
+
+
+def test_forest_jc_five_taxon():
+    tops, sp = _load("five_taxon_unrooted.nwk", "five_taxon.fasta")
+    _forest_jc_vs_generic(tops, sp)
+
+
+@pytest.mark.slow
+def test_forest_jc_ds1_100():
+    tops, sp = _load("DS1.100_topologies.nwk", "DS1.fasta")
+    _forest_jc_vs_generic(tops, sp)
+
+
 def test_forest_rooted_trees():
     """Rooted (binary-root) collections share through the same machinery."""
     tops, sp = _load("hello_rooted_two_trees.nwk", "hello.fasta")

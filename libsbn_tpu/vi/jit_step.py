@@ -523,14 +523,25 @@ class JitVBPI:
         return self._native_sampler
 
     def _host_sample(self, count=None):
-        """Sample topologies and lower them to dense step inputs."""
+        """Sample topologies and lower them to dense step inputs (from the
+        CURRENT device state; blocks until it is available)."""
+        import numpy as np
+
+        return self._host_sample_from(
+            np.asarray(self.state.sbn_params), count
+        )
+
+    def _host_sample_from(self, sbn_params_np, count=None):
+        """Sample topologies from an explicit host-side SBN parameter
+        vector — the overlap path feeds the last COMPLETED step's
+        parameters here so sampling never waits on the in-flight step."""
         import numpy as np
 
         count = self.local_particle_count if count is None else count
-        # Refresh the sampler with current SBN parameters. Prefer the native
-        # bulk sampler: it emits canonical parent-id vectors that key the
-        # artifact cache directly (sbn/sampling.py NativeSBNSampler).
-        self.inst.sbn_parameters = np.asarray(self.state.sbn_params)
+        # Refresh the sampler. Prefer the native bulk sampler: it emits
+        # canonical parent-id vectors that key the artifact cache directly
+        # (sbn/sampling.py NativeSBNSampler).
+        self.inst.sbn_parameters = np.asarray(sbn_params_np)
         native_sampler = self._get_native_sampler()
         native_sampler.refresh_parameters(self.inst.sbn_parameters)
         pvs = native_sampler.sample_parent_vectors(count, rooted=False)
@@ -639,6 +650,51 @@ class JitVBPI:
             self.state.sbn_params.copy_to_host_async()
         except AttributeError:  # pragma: no cover
             pass
+        return metrics
+
+    def step_overlapped(self, beta: float = 1.0):
+        """One gradient step with host sampling overlapped against the
+        in-flight device step (double buffering).
+
+        step() is strictly alternating — sample, dispatch, (implicitly)
+        wait — so the ~2 ms host sampling cost sits on the critical path
+        (25% of an 8 ms DS1 step; under multi-chip dp it becomes the
+        Amdahl ceiling). Here batch t+1 is lowered on the host WHILE the
+        device runs step t, so its topologies come from the parameters of
+        step t-1: one dispatch of staleness, strictly less than the up-to-
+        K-1 staleness step_many already gates (tail-mean ELBO gap an order
+        inside the between-seed MC spread; docs/performance.md 'step_many
+        staleness'). The first call primes the pipeline synchronously, so
+        call #1 is bit-identical to step(). The reference has no analog
+        (single-process alternating loop, burrito.py:84-117). Single-host.
+        """
+        import numpy as np
+
+        assert jax.process_count() == 1, "step_overlapped is single-host"
+        if getattr(self, "_pending_sample", None) is None:
+            self._pending_sample = self._host_sample()  # pipeline fill
+        sched5, branch_rep, reps, touched, eps = self._pending_sample
+        packed, eps_d, shapes = self._device_put(
+            sched5, branch_rep, reps, touched, eps
+        )
+        prev_params = self.state.sbn_params  # completed (or completing)
+        evec, ivec, evals, freqs, props, Q = self.model_tensors
+        self.state, metrics = vbpi_train_step_packed(
+            self.state, self.statics, self.optimizer,
+            packed, eps_d, jnp.asarray(beta, self.dtype), shapes,
+            self.tips, self.weights, self.segment_ids,
+            evec, ivec, evals, freqs, props, Q,
+        )
+        try:
+            self.state.sbn_params.copy_to_host_async()
+        except AttributeError:  # pragma: no cover
+            pass
+        # Overlap: lower the NEXT batch from the last completed step's
+        # parameters while the device runs this one. np.asarray(prev) is a
+        # local fetch — its device->host copy was started last call.
+        self._pending_sample = self._host_sample_from(
+            np.asarray(prev_params)
+        )
         return metrics
 
     def step(self, beta: float = 1.0):

@@ -86,10 +86,13 @@ def timed_evals_per_sec(run, n_evals, windows=3, target_s=1.0):
     outrun wall-clock checks)."""
     import jax
 
+    jax.block_until_ready(run())  # compile + warmup (never timed)
     t0 = time.time()
     jax.block_until_ready(run())
     per = time.time() - t0
-    iters = max(1, min(400, int(target_s / max(per, 1e-4))))
+    # Single-launch latency over the tunneled chip is RTT-dominated; the
+    # window must pipeline enough launches to amortize it.
+    iters = max(8, min(400, int(target_s / max(per, 1e-4))))
     best = 0.0
     for _ in range(windows):
         t0 = time.time()
@@ -342,22 +345,48 @@ def config_gtr_weibull4_ll():
     post_children = jnp.asarray(tile_to(np.asarray(sch.post_children), B))
     post_node = jnp.asarray(tile_to(np.asarray(sch.post_node), B))
 
-    def one(pn, pc, b):
-        P = pruning.node_transition_matrices(
-            evec32, ivec32, evals32, b, rates32
-        )
-        M, logscale = pruning._postorder_m(pn, pc, P, tips, True)
-        site = pruning._root_site_likelihoods(
-            M, sch.root_id, freqs32, props32
-        )
-        return jnp.sum(w * (jnp.log(site) + logscale))
+    if jax.default_backend() == "tpu":
+        # Fastest GTR path: the generic K-category Pallas kernel. It also
+        # emits branch gradients; counting its rate against an LL-only
+        # native denominator is conservative for the ratio.
+        from libsbn_tpu.ops import pruning_pallas
 
-    fn = jax.jit(jax.vmap(one))
-    bl_d = jax.device_put(jnp.asarray(blp))
-    ll = np.asarray(fn(post_node, post_children, bl_d))
-    evals_s = timed_evals_per_sec(
-        lambda: fn(post_node, post_children, bl_d), B
-    )
+        Q32 = f32(Q)
+        pc_np = np.asarray(tile_to(np.asarray(sch.post_children), B),
+                           np.int32)
+
+        def run_batch(b):
+            P = jax.vmap(
+                lambda one_bl: pruning.node_transition_matrices(
+                    evec32, ivec32, evals32, one_bl, rates32
+                )
+            )(b)
+            return pruning_pallas.log_likelihood_and_branch_gradient_pallas(
+                pc_np, P, Q32 * rates32[:, None, None], tips, freqs32, w,
+                root_id=sch.root_id, props=props32,
+            )[0]
+
+        fn2 = jax.jit(run_batch)
+        bl_d = jax.device_put(jnp.asarray(blp))
+        ll = np.asarray(fn2(bl_d))
+        evals_s = timed_evals_per_sec(lambda: fn2(bl_d), B)
+    else:
+        def one(pn, pc, b):
+            P = pruning.node_transition_matrices(
+                evec32, ivec32, evals32, b, rates32
+            )
+            M, logscale = pruning._postorder_m(pn, pc, P, tips, True)
+            site = pruning._root_site_likelihoods(
+                M, sch.root_id, freqs32, props32
+            )
+            return jnp.sum(w * (jnp.log(site) + logscale))
+
+        fn = jax.jit(jax.vmap(one))
+        bl_d = jax.device_put(jnp.asarray(blp))
+        ll = np.asarray(fn(post_node, post_children, bl_d))
+        evals_s = timed_evals_per_sec(
+            lambda: fn(post_node, post_children, bl_d), B
+        )
 
     # Native denominator: same model via precomputed P tensors (f64).
     Bn = 100
@@ -494,10 +523,16 @@ def config_vbpi_step():
     inst.prepare_for_phylo_likelihood(
         PhyloModelSpec("JC69", "constant", "strict")
     )
-    jv = JitVBPI(inst, particle_count=10, seed=0)
-    jv.step_many(8)  # warmup/compile
+    import jax.numpy as jnp
+
+    jv = JitVBPI(inst, particle_count=10, seed=0, dtype=jnp.float32)
+    jv.step_many(16)  # warmup/compile (the K=16 window program)
     t0 = time.time()
-    jv.step_many(64)
+    for _ in range(4):
+        jv.step_many(16)
+    import jax
+
+    jax.block_until_ready(jv.state.sbn_params)
     ms = (time.time() - t0) / 64 * 1e3
     return {
         "value": round(ms, 2), "unit": "ms/step",

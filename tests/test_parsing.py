@@ -78,3 +78,34 @@ def test_site_pattern_weights():
     assert tp.shape == (3, 4, 15)
     # Gap columns give uniform tip partials.
     assert set(np.unique(tp)) <= {0.0, 1.0}
+
+
+def test_taxon_name_quoting_goldens():
+    """QuoteString/DequoteString round trips (taxon_name_munging.hpp
+    TEST_CASE, incl. the mixed-quote raw-string cases)."""
+    from libsbn_tpu.utils import taxon_names as tn
+
+    unquoted = "hello 'there\" friend"
+    double_quoted = '"this is a \\" test"'
+    double_dequoted = 'this is a " test'
+    single_quoted = "'this is a \\' test'"
+    single_dequoted = "this is a ' test"
+
+    assert tn.quote_string(unquoted) == '"hello \'there\\" friend"'
+    assert tn.dequote_string(double_quoted) == double_dequoted
+    assert tn.dequote_string(single_quoted) == single_dequoted
+    assert tn.dequote_string(tn.quote_string(unquoted)) == unquoted
+
+    test_map = {(2, 1): unquoted, (3, 1): double_quoted, (5, 1): single_quoted}
+    expected = {(2, 1): unquoted, (3, 1): double_dequoted,
+                (5, 1): single_dequoted}
+    assert tn.dequote_tag_string_map(test_map) == expected
+
+
+def test_tag_ordering_matches_intpack():
+    """The reference packs (leaf_max, count) into a uint64 so the first int
+    dominates sorting (intpack.hpp TEST_CASE); our tags are Python tuples,
+    whose lexicographic order has the same property."""
+    assert (0, 4) < (1, 0)
+    assert (3, 4) < (2**32 - 1, 4)
+    assert sorted([(1, 0), (0, 4), (0, 1)]) == [(0, 1), (0, 4), (1, 0)]

@@ -270,7 +270,7 @@ def config_hello_ll():
 
     tops, bls, sp = load_newick("hello.nwk", "hello.fasta")
     sch = schedule.schedules_of_topologies(tops)
-    B = 4096
+    B = 32768  # a 3-taxon eval is ~1k FLOPs: huge batches amortize dispatch
     rng = np.random.default_rng(0)
     bl0 = np.pad(np.stack(bls), ((0, 0), (0, 1)))
     blp = tile_to(bl0, B) * rng.uniform(0.8, 1.2, (B, bl0.shape[1]))

@@ -481,9 +481,16 @@ def config_flua_rooted_gradients():
     sch_b = _batched_like(sch, B)
     params = default_parameters(spec)
 
+    import jax
+
+    bounds_d = jax.device_put(bounds.astype(np.float32))
+    ratios_d = jax.device_put(ratios.astype(np.float32))
+    rates_d = jax.device_put(rates.astype(np.float32))
+    params = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32), params
+    )
     run = lambda: engine.rooted_phylo_gradients(  # noqa: E731
-        sch_b, bounds.astype(np.float32), ratios.astype(np.float32),
-        rates.astype(np.float32), params,
+        sch_b, bounds_d, ratios_d, rates_d, params,
     )["ratios_root_height"]
     out = np.asarray(run())
     assert np.all(np.isfinite(out)), "non-finite rooted gradients"

@@ -141,13 +141,45 @@ class LikelihoodEngine:
             self._jit_cache[key] = builder()
         return self._jit_cache[key]
 
+    def _sched_dev(self, sched, name: str):
+        """Device-resident copy of a schedule index array, cached per
+        (schedule object, field). Re-uploading these constants on every
+        call costs a host->device round trip EACH over a tunneled chip —
+        measured as the dominant term of the rooted-gradient path (25 of
+        44 ms/launch at fluA B=64 before caching)."""
+        key = ("sched_dev", id(sched), name)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jnp.asarray(getattr(sched, name))
+        return self._jit_cache[key]
+
+    def _height_iters(self, sched) -> int:
+        """Max internal-node depth across the batch: the exact number of
+        dense fixed-point sweeps node_heights_from_ratios needs (static —
+        schedules are host numpy)."""
+        key = ("height_iters", id(sched))
+        if key not in self._jit_cache:
+            import numpy as _np
+
+            pn = _np.asarray(sched.pre_internal_node)
+            pp = _np.asarray(sched.pre_internal_parent)
+            if pn.ndim == 1:
+                pn, pp = pn[None], pp[None]
+            max_d = 1
+            for row_n, row_p in zip(pn, pp):
+                depth = _np.zeros(sched.node_count, _np.int32)
+                for v, par in zip(row_n, row_p):
+                    depth[v] = depth[par] + 1
+                max_d = max(max_d, int(depth.max()))
+            self._jit_cache[key] = max_d
+        return self._jit_cache[key]
+
     def _sched5_b(self, sched: BatchedSchedule):
         return (
-            jnp.asarray(sched.post_node),
-            jnp.asarray(sched.post_children),
-            jnp.asarray(sched.up_node),
-            jnp.asarray(sched.up_parent),
-            jnp.asarray(sched.up_sibs),
+            self._sched_dev(sched, "post_node"),
+            self._sched_dev(sched, "post_children"),
+            self._sched_dev(sched, "up_node"),
+            self._sched_dev(sched, "up_parent"),
+            self._sched_dev(sched, "up_sibs"),
         )
 
     # -- unrooted/plain likelihoods ----------------------------------------
@@ -342,10 +374,10 @@ class LikelihoodEngine:
 
         fn = self._cached(("rooted_grad_pallas", root_id), build)
         lls, ldjs, dratios, drates = fn(
-            jnp.asarray(sched.post_children),
-            jnp.asarray(sched.pre_internal_node),
-            jnp.asarray(sched.pre_internal_parent),
-            jnp.asarray(sched.parent),
+            self._sched_dev(sched, "post_children"),
+            self._sched_dev(sched, "pre_internal_node"),
+            self._sched_dev(sched, "pre_internal_parent"),
+            self._sched_dev(sched, "parent"),
             jnp.asarray(bounds, self.dtype),
             jnp.asarray(ratios, self.dtype),
             jnp.asarray(rates, self.dtype),
@@ -416,6 +448,7 @@ class LikelihoodEngine:
         VJP kernel; differentiable in (ratios, rates, params)."""
         leaf_count = sched.leaf_count
         root_id = sched.root_id
+        n_height_iters = self._height_iters(sched)
 
         def build():
             ll_fn = self._pallas_ll_batch(root_id)
@@ -424,7 +457,8 @@ class LikelihoodEngine:
                    ratios, rates, params):
                 def bl_of(pre_n, pre_p, par, bounds1, ratios1, rates1):
                     h = heights_ops.node_heights_from_ratios(
-                        ratios1, bounds1, leaf_count, pre_n, pre_p
+                        ratios1, bounds1, leaf_count, pre_n, pre_p,
+                        n_iters=n_height_iters,
                     )
                     bl = heights_ops.branch_lengths_from_heights(h, par)
                     ldj = heights_ops.log_det_jacobian(
@@ -454,13 +488,14 @@ class LikelihoodEngine:
         matrix rows) — one vmapped program, not a per-tree loop."""
         leaf_count = sched.leaf_count
         root_id = sched.root_id
+        n_height_iters = self._height_iters(sched)
         if self.use_pallas and not per_tree:
             fn = self._rooted_core(sched)
             lls, ldjs = fn(
-                jnp.asarray(sched.post_children),
-                jnp.asarray(sched.pre_internal_node),
-                jnp.asarray(sched.pre_internal_parent),
-                jnp.asarray(sched.parent),
+                self._sched_dev(sched, "post_children"),
+                self._sched_dev(sched, "pre_internal_node"),
+                self._sched_dev(sched, "pre_internal_parent"),
+                self._sched_dev(sched, "parent"),
                 jnp.asarray(bounds, self.dtype),
                 jnp.asarray(ratios, self.dtype),
                 jnp.asarray(rates, self.dtype),
@@ -476,7 +511,8 @@ class LikelihoodEngine:
                 rates, params,
             ):
                 h = heights_ops.node_heights_from_ratios(
-                    ratios, bounds, leaf_count, pre_node, pre_parent
+                    ratios, bounds, leaf_count, pre_node, pre_parent,
+                    n_iters=n_height_iters,
                 )
                 bl = heights_ops.branch_lengths_from_heights(h, parent)
                 ll = self._tree_ll(sched5, root_id, self._pad2(bl * rates), params)
@@ -515,6 +551,7 @@ class LikelihoodEngine:
         """Gradient dict for rooted time trees, all via AD."""
         leaf_count = sched.leaf_count
         root_id = sched.root_id
+        n_height_iters = self._height_iters(sched)
         if self.use_pallas and not per_tree:
             return self._rooted_phylo_gradients_pallas(
                 sched, bounds, ratios, rates, params, strict_clock
@@ -527,7 +564,8 @@ class LikelihoodEngine:
             ):
                 def objective(ratios_, rates_, params_):
                     h = heights_ops.node_heights_from_ratios(
-                        ratios_, bounds, leaf_count, pre_node, pre_parent
+                        ratios_, bounds, leaf_count, pre_node, pre_parent,
+                        n_iters=n_height_iters,
                     )
                     bl = heights_ops.branch_lengths_from_heights(h, parent)
                     ll = self._tree_ll(

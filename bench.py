@@ -633,6 +633,14 @@ def config_forest():
 
     full = timed_evals_per_sec(lambda: fn_full(bl_d), R * T)
     ll_only = timed_evals_per_sec(lambda: fn_ll(bl_d), R * T)
+    # Split-keyed optimization surface: one reverse pass aggregates the
+    # whole collection's gradient onto the split vector.
+    fn_opt = jax.jit(jax.vmap(
+        lambda b: forest.forest_jc_weighted_ll_and_split_gradient(
+            fs, b, tips, w
+        )
+    ))
+    opt = timed_evals_per_sec(lambda: fn_opt(bl_d), R * T)
     return {
         "value": round(full, 1), "unit": "LL+grad evals/sec",
         "vs_baseline": round(full / base_full, 2),
@@ -640,6 +648,8 @@ def config_forest():
         "ll_only_evals_per_sec": round(ll_only, 1),
         "ll_only_vs_baseline": round(ll_only / base_ll, 2),
         "ll_only_baseline_evals_per_sec": round(base_ll, 1),
+        "ll_plus_split_grad_evals_per_sec": round(opt, 1),
+        "ll_plus_split_grad_vs_baseline": round(opt / base_full, 2),
         "schedule_build_seconds": round(build_s, 3),
         "op_sharing": round(stats["op_sharing"], 2),
         "note": "100 distinct MCMC topologies x 8 split-keyed bl sets; "

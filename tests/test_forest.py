@@ -124,3 +124,36 @@ def test_forest_ds1_100_topologies():
     # the dedup itself, loosely.
     assert stats["op_sharing"] > 2.0
     assert stats["down_internal_unique"] < 400
+
+
+def test_forest_weighted_split_gradient():
+    """One reverse pass through the shared down DAG == aggregating the
+    per-tree edge gradients onto splits (the split-keyed optimization
+    surface; GP-hot-start-style ascent)."""
+    tops, sp = _load("five_taxon_unrooted.nwk", "five_taxon.fasta")
+    for t in tops:
+        t.polish()
+    fs = forest.build_forest(tops)
+    rng = np.random.default_rng(1)
+    bl = jnp.asarray(rng.uniform(0.02, 0.2, fs.n_splits))
+    tips = jnp.asarray(sp.tip_partials())
+    w = jnp.asarray(sp.weights)
+    lam = jnp.asarray(rng.uniform(0.5, 1.5, fs.tree_count))
+
+    ll_w, g_ad = forest.forest_jc_weighted_ll_and_split_gradient(
+        fs, bl, tips, w, lam=lam, dtype=jnp.float64
+    )
+    ll, grad = forest.forest_jc_log_likelihoods_and_gradients(
+        fs, bl, tips, w, dtype=jnp.float64
+    )
+    np.testing.assert_allclose(np.asarray(ll_w), np.asarray(ll), rtol=1e-12)
+    g_ref = np.zeros(fs.n_splits)
+    for ti, top in enumerate(tops):
+        for node in top.postorder():
+            if node.id == top.id:
+                continue
+            sidx = fs.split_of_clade[forest._clade_mask(node)]
+            g_ref[sidx] += float(lam[ti]) * float(grad[ti, node.id])
+    np.testing.assert_allclose(
+        np.asarray(g_ad), g_ref, rtol=1e-8, atol=1e-10
+    )

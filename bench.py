@@ -826,7 +826,7 @@ def main():
         )
         run = lambda: jfn(*args_d)  # noqa: E731
     jax.block_until_ready(run())
-    evals_per_sec = timed_evals_per_sec(run, B, target_s=1.5)
+    evals_per_sec = timed_evals_per_sec(run, B, target_s=4.0)
 
     # Honest baseline: the native BEAGLE-grade CPU path on this host.
     try:

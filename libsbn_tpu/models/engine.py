@@ -141,37 +141,43 @@ class LikelihoodEngine:
             self._jit_cache[key] = builder()
         return self._jit_cache[key]
 
-    def _sched_dev(self, sched, name: str):
-        """Device-resident copy of a schedule index array, cached per
-        (schedule object, field). Re-uploading these constants on every
-        call costs a host->device round trip EACH over a tunneled chip —
-        measured as the dominant term of the rooted-gradient path (25 of
-        44 ms/launch at fluA B=64 before caching)."""
-        key = ("sched_dev", id(sched), name)
-        if key not in self._jit_cache:
-            self._jit_cache[key] = jnp.asarray(getattr(sched, name))
-        return self._jit_cache[key]
+    @staticmethod
+    def _sched_dev(sched, name: str):
+        """Device-resident copy of a schedule index array, cached ON the
+        schedule object (so the cache dies with it — an id()-keyed dict
+        would serve stale arrays once Python recycles the address, and
+        pinning schedules would leak across VI steps). Re-uploading these
+        constants on every call costs a host->device round trip EACH over
+        a tunneled chip — measured as the dominant term of the rooted-
+        gradient path (25 of 44 ms/launch at fluA B=64 before caching)."""
+        cache = getattr(sched, "_dev_cache", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(sched, "_dev_cache", cache)
+        if name not in cache:
+            cache[name] = jnp.asarray(getattr(sched, name))
+        return cache[name]
 
     def _height_iters(self, sched) -> int:
         """Max internal-node depth across the batch: the exact number of
         dense fixed-point sweeps node_heights_from_ratios needs (static —
         schedules are host numpy)."""
-        key = ("height_iters", id(sched))
-        if key not in self._jit_cache:
+        cached = getattr(sched, "_height_iters_cache", None)
+        if cached is None:
             import numpy as _np
 
             pn = _np.asarray(sched.pre_internal_node)
             pp = _np.asarray(sched.pre_internal_parent)
             if pn.ndim == 1:
                 pn, pp = pn[None], pp[None]
-            max_d = 1
+            cached = 1
             for row_n, row_p in zip(pn, pp):
                 depth = _np.zeros(sched.node_count, _np.int32)
                 for v, par in zip(row_n, row_p):
                     depth[v] = depth[par] + 1
-                max_d = max(max_d, int(depth.max()))
-            self._jit_cache[key] = max_d
-        return self._jit_cache[key]
+                cached = max(cached, int(depth.max()))
+            object.__setattr__(sched, "_height_iters_cache", cached)
+        return cached
 
     def _sched5_b(self, sched: BatchedSchedule):
         return (

@@ -570,6 +570,53 @@ def forest_jc_weighted_ll_and_split_gradient(
     return ll, g
 
 
+def forest_branch_ascent(
+    fs: ForestSchedule, bl0, tips, weights, lam=None, steps: int = 200,
+    lr: float = 0.05, dtype=jnp.float32,
+):
+    """Maximize Σ_τ lam_τ LL_τ over split-keyed branch lengths — the
+    collection analog of GPInstance.EstimateBranchLengths
+    (gp_instance.cpp:129-175), driven by the one-reverse-pass aggregated
+    gradient. Adam in log-branch-length space (positivity for free, the
+    reference optimizes log-space too, gp_engine.cpp:326-345), fixed step
+    count, one jitted lax.scan.
+
+    Returns (bl (n_splits,), per-tree lls at the optimum (T,), objective
+    trace (steps,))."""
+    lam_v = (jnp.ones((fs.tree_count,), dtype) if lam is None
+             else jnp.asarray(lam, dtype))
+    tips = jnp.asarray(tips)
+    weights = jnp.asarray(weights)
+
+    def objective(log_bl):
+        ll, _ = forest_jc_log_likelihoods_and_gradients(
+            fs, jnp.exp(log_bl), tips, weights, ll_only=True, dtype=dtype
+        )
+        return jnp.sum(lam_v * ll), ll
+
+    grad_fn = jax.value_and_grad(objective, has_aux=True)
+    b1, b2, eps = 0.9, 0.999, 1e-8
+
+    def step(carry, i):
+        log_bl, m, v = carry
+        (obj, _), g = grad_fn(log_bl)
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * g * g
+        mhat = m / (1 - b1 ** (i + 1.0))
+        vhat = v / (1 - b2 ** (i + 1.0))
+        log_bl = log_bl + lr * mhat / (jnp.sqrt(vhat) + eps)
+        return (log_bl, m, v), obj
+
+    log0 = jnp.log(jnp.clip(jnp.asarray(bl0, dtype), 1e-6, None))
+    zeros = jnp.zeros_like(log0)
+    (log_bl, _, _), trace = jax.lax.scan(
+        step, (log0, zeros, zeros), jnp.arange(steps, dtype=dtype)
+    )
+    bl = jnp.exp(log_bl)
+    _, ll = objective(log_bl)
+    return bl, ll, trace
+
+
 def forest_stats(fs: ForestSchedule) -> Dict[str, float]:
     """Sharing diagnostics (for logs and the bench's honest accounting)."""
     per_tree_internal = fs.node_count - fs.leaf_count

@@ -558,6 +558,45 @@ def config_vbpi_step():
     }
 
 
+def config_gp_ascent_flua():
+    """GP coordinate ascent on fluA (69 taxa): the whole branch-length
+    ascent — populate, damped Newton sweeps, marginal — as one fused XLA
+    program (GPDAG/GPEngine analog, gp_instance.cpp:129-175). Value =
+    warm ms per full ascent; no native counterpart is expressible here
+    (the reference's Brent-per-edge interpreter has no comparable
+    batch form), so vs_baseline is null and the correctness anchor is
+    the brute-force-pinned marginal tests (tests/test_gp.py)."""
+    import jax
+
+    from libsbn_tpu.gp.instance import GPInstance
+
+    inst = GPInstance("bench-gp")
+    inst.read_fasta_file(f"{DATA}/fluA.fa")
+    inst.read_newick_file(f"{DATA}/fluA.tree")
+    inst.make_engine(dtype=np.float32)
+    eng = inst.get_engine()
+    bl0 = np.asarray(eng.branch_lengths).copy()
+    marginal, iters = eng.run_branch_ascent(1e-2, 10)  # warmup/compile
+    assert np.isfinite(marginal)
+    t0 = time.time()
+    n = 5
+    for _ in range(n):
+        # Reset to the hot-start lengths so each timed run is a FULL
+        # ascent, not a 1-sweep touch-up of converged state.
+        eng.branch_lengths = bl0.copy()
+        marginal, iters = eng.run_branch_ascent(1e-2, 10)
+    ms = (time.time() - t0) / n * 1e3
+    del jax
+    return {
+        "value": round(ms, 1), "unit": "ms/ascent",
+        "vs_baseline": None,
+        "note": f"fluA 69 taxa, f32, fused device ascent ({int(iters)} "
+                "sweeps, tol 1e-2, warm); marginal "
+                f"{float(marginal):.3f}; correctness: brute-force-pinned "
+                "GP tests",
+    }
+
+
 def config_forest():
     """Forest (cross-tree sharing) on DS1.100_topologies: split-keyed branch
     lengths (the GP-hot-start regime), vs the native baseline evaluating the
@@ -849,7 +888,7 @@ def main():
 
     wanted = opts.configs.split(",") if opts.configs != "all" else [
         "hello_jc69_ll", "gtr_weibull4_ll_ds1_100", "flua_rooted_gradients",
-        "vbpi_step_ds1", "forest_shared_ds1_100",
+        "vbpi_step_ds1", "forest_shared_ds1_100", "gp_ascent_flua",
     ]
     runners = {
         "hello_jc69_ll": config_hello_ll,
@@ -857,6 +896,7 @@ def main():
         "flua_rooted_gradients": config_flua_rooted_gradients,
         "vbpi_step_ds1": config_vbpi_step,
         "forest_shared_ds1_100": config_forest,
+        "gp_ascent_flua": config_gp_ascent_flua,
     }
     configs = {
         "ds1_jc69_ll_grad": {

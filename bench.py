@@ -545,9 +545,9 @@ def config_vbpi_step():
     t0 = time.time()
     for _ in range(4):
         jv.step_many(16)
-    import jax
-
-    jax.block_until_ready(jv.state.sbn_params)
+    # Value fetch, not block_until_ready: the latter can return early over
+    # the tunneled chip (see _force).
+    _force(jv.state.sbn_params)
     ms = (time.time() - t0) / 64 * 1e3
     return {
         "value": round(ms, 2), "unit": "ms/step",

@@ -154,9 +154,13 @@ class LikelihoodEngine:
         if cache is None:
             cache = {}
             object.__setattr__(sched, "_dev_cache", cache)
-        if name not in cache:
-            cache[name] = jnp.asarray(getattr(sched, name))
-        return cache[name]
+        # Key by backend as well: a schedule can outlive a platform switch
+        # (CPU parity engine + TPU engine sharing one schedule), and the
+        # committed arrays of the first backend must not serve the second.
+        key = (name, jax.default_backend())
+        if key not in cache:
+            cache[key] = jnp.asarray(getattr(sched, name))
+        return cache[key]
 
     def _height_iters(self, sched) -> int:
         """Max internal-node depth across the batch: the exact number of
@@ -358,6 +362,7 @@ class LikelihoodEngine:
         (ratios, rates) gradients come from one grad of the batch SUM (trees
         are independent, so the sum's gradient decouples per tree)."""
         root_id = sched.root_id
+        n_height_iters = self._height_iters(sched)
 
         def build():
             core = self._rooted_core(sched)
@@ -378,7 +383,10 @@ class LikelihoodEngine:
 
             return jax.jit(fn)
 
-        fn = self._cached(("rooted_grad_pallas", root_id), build)
+        # n_height_iters is baked into the closure (via _rooted_core): it
+        # must key the cache, or a deeper same-size tree collection would be
+        # served a function that sweeps too few fixed-point iterations.
+        fn = self._cached(("rooted_grad_pallas", root_id, n_height_iters), build)
         lls, ldjs, dratios, drates = fn(
             self._sched_dev(sched, "post_children"),
             self._sched_dev(sched, "pre_internal_node"),
@@ -480,7 +488,7 @@ class LikelihoodEngine:
 
             return jax.jit(fn)
 
-        return self._cached(("rooted_core_pallas", root_id), build)
+        return self._cached(("rooted_core_pallas", root_id, n_height_iters), build)
 
     def rooted_log_likelihoods(
         self, sched: BatchedSchedule, bounds, ratios, rates, params,
@@ -535,7 +543,7 @@ class LikelihoodEngine:
                 )
             )
 
-        fn = self._cached(("rooted_ll", root_id, per_tree), build)
+        fn = self._cached(("rooted_ll", root_id, per_tree, n_height_iters), build)
         lls, ldjs = fn(
             self._sched5_b(sched),
             jnp.asarray(sched.pre_internal_node),
@@ -600,7 +608,7 @@ class LikelihoodEngine:
                 )
             )
 
-        fn = self._cached(("rooted_grad", root_id, per_tree), build)
+        fn = self._cached(("rooted_grad", root_id, per_tree, n_height_iters), build)
         obj, lls, dratios, drates = fn(
             self._sched5_b(sched),
             jnp.asarray(sched.pre_internal_node),

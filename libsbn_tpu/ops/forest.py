@@ -142,8 +142,24 @@ def build_forest(tops: Sequence[Topology]) -> ForestSchedule:
         )
 
     splits: Dict[int, int] = {}
+    full_mask = (1 << leaf_count) - 1
+    # Unrooted collections (trifurcating roots) key splits by the canonical
+    # UNORDERED bipartition min(mask, ~mask): the same branch in
+    # inconsistently-rooted MCMC samples has complementary clade-below masks
+    # depending on orientation, and the reference's split semantics
+    # (SplitModel branch lengths, HotStartBranchLengths) treat those as ONE
+    # optimization variable. Rooted (binary-root) collections keep the raw
+    # clade mask — rooted splits ARE clades there.
+    unrooted = len(tops[0].children) == 3
+
+    def canon(mask: int) -> int:
+        if not unrooted or mask == full_mask:
+            return mask
+        comp = full_mask ^ mask
+        return mask if mask <= comp else comp
 
     def split_id(mask: int) -> int:
+        mask = canon(mask)
         if mask not in splits:
             splits[mask] = len(splits)
         return splits[mask]
@@ -193,7 +209,8 @@ def build_forest(tops: Sequence[Topology]) -> ForestSchedule:
     kids_arr = np.full((n_down - leaf_count, 3), ones, dtype=np.int32)
     down_bl = np.full((n_down,), len(splits), dtype=np.int32)  # filled below
     levels_of = np.zeros((n_down,), dtype=np.int32)
-    clade_of = np.zeros((n_down,), dtype=np.int64)
+    # Python ints: a 64+-taxon clade mask overflows any fixed-width dtype.
+    clade_of = np.zeros((n_down,), dtype=object)
     for old in range(n_down):
         new = remap[old]
         levels_of[new] = down_level[old]
@@ -316,6 +333,14 @@ def build_forest(tops: Sequence[Topology]) -> ForestSchedule:
     assert start == n_up
     edge_up_arr = up_remap[np.asarray(edge_up, dtype=np.int32)]
 
+    # Export BOTH orientations of each canonical split so consumers can keep
+    # looking up by raw clade-below mask (bench.py, tree_branch_lengths).
+    split_table = dict(splits)
+    if unrooted:
+        for mask, idx in list(splits.items()):
+            if mask != full_mask:
+                split_table.setdefault(full_mask ^ mask, idx)
+
     return ForestSchedule(
         leaf_count=leaf_count,
         tree_count=len(tops),
@@ -336,7 +361,7 @@ def build_forest(tops: Sequence[Topology]) -> ForestSchedule:
         edge_bl=np.asarray(edge_bl, dtype=np.int32),
         tree_root=tree_root,
         tree_edge=tree_edge,
-        split_of_clade=dict(splits),
+        split_of_clade=split_table,
     )
 
 

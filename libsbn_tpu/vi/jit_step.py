@@ -603,6 +603,10 @@ class JitVBPI:
         import numpy as np
 
         assert jax.process_count() == 1, "step_many is single-host"
+        # A batch pre-sampled by step_overlapped would be arbitrarily stale
+        # by the time a later step_overlapped call consumed it; drop it so
+        # staleness stays bounded at one dispatch.
+        self._pending_sample = None
         K, P = int(n_steps), self.local_particle_count
         self.inst.sbn_parameters = np.asarray(self.state.sbn_params)
         native_sampler = self._get_native_sampler()
@@ -698,6 +702,7 @@ class JitVBPI:
         return metrics
 
     def step(self, beta: float = 1.0):
+        self._pending_sample = None  # see step_many: bound overlap staleness
         sched5, branch_rep, reps, touched, eps = self._host_sample()
         packed, eps, shapes = self._device_put(
             sched5, branch_rep, reps, touched, eps

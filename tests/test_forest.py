@@ -198,3 +198,37 @@ def test_forest_branch_ascent():
             jnp.ones(1), w, True,
         )
         np.testing.assert_allclose(float(ll[ti]), float(ll_t), rtol=1e-9)
+
+
+def test_forest_split_canonicalization_across_rootings():
+    """The same unrooted branch in differently-rooted trees must share ONE
+    split id (the reference's canonical split semantics: SplitModel /
+    HotStartBranchLengths key by unordered bipartition)."""
+    nwk = "(t0,t1,(t2,(t3,t4)));\n(t3,t4,(t2,(t0,t1)));\n"
+    tops, _, _ = newick.parse_newick_string(nwk)
+    for t in tops:
+        t.polish()
+    fs = forest.build_forest(tops)
+    # 5 pendant splits + 2 internal splits + the (garbage) full-clade root
+    # slot = 8; without canonicalization the two internal splits would each
+    # appear under both orientations (10).
+    assert fs.n_splits == 8
+    m34 = (1 << 3) | (1 << 4)
+    full = (1 << 5) - 1
+    assert fs.split_of_clade[m34] == fs.split_of_clade[full ^ m34]
+    m01 = (1 << 0) | (1 << 1)
+    assert fs.split_of_clade[m01] == fs.split_of_clade[full ^ m01]
+
+    # Same unrooted tree under shared split-keyed branch lengths ->
+    # identical likelihoods.
+    rng = np.random.default_rng(3)
+    bl_splits = jnp.asarray(rng.uniform(0.02, 0.2, fs.n_splits))
+    freqs, evec, ivec, evals = substitution.jc69_eigen()
+    rng2 = np.random.default_rng(0)
+    tips = jnp.asarray(rng2.dirichlet(np.ones(4), size=(5, 20)).transpose(0, 2, 1))
+    w = jnp.ones(20)
+    ll, _ = forest.forest_log_likelihoods_and_gradients(
+        fs, bl_splits, evec, ivec, evals, substitution.jc69_q()[None],
+        tips, freqs, jnp.ones(1), jnp.ones(1), w,
+    )
+    np.testing.assert_allclose(float(ll[0]), float(ll[1]), rtol=1e-12)

@@ -41,6 +41,7 @@ the axon TPU plugin ignores JAX_PLATFORMS env, so use the flag).
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -77,7 +78,7 @@ PHYSHER_WEIBULL_LIKELIHOODS = np.array([
 
 HELLO_LL = -84.852358  # unrooted_sbn_instance.hpp:206-214
 
-DATA = "/root/reference/data"
+DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
 
 
 # -- timing helper -----------------------------------------------------------

@@ -21,7 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pytest
 
-DATA = "/root/reference/data"
+# Vendored fixtures (SURVEY.md §4: golden data lifted verbatim — it is
+# data, not code); the suite is self-contained without the reference.
+DATA = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data")
 
 
 def pytest_addoption(parser):

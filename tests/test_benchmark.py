@@ -7,7 +7,7 @@ import pytest
 
 from libsbn_tpu.vi import benchmark, optimizers, scalar_models
 
-DATA = "/root/reference/data"
+DATA = "/root/repo/data"
 
 
 @pytest.fixture()

@@ -7,7 +7,7 @@ from libsbn_tpu.models.phylo_model import PhyloModelSpec
 from libsbn_tpu.vi import checkpoint
 from libsbn_tpu.vi.burrito import Burrito
 
-DATA = "/root/reference/data"
+DATA = "/root/repo/data"
 
 
 def make_burrito(seed=0):

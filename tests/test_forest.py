@@ -15,7 +15,7 @@ from libsbn_tpu.io.fasta import Alignment
 from libsbn_tpu.io import newick
 from libsbn_tpu.ops import forest, pruning, schedule, substitution
 
-DATA = "/root/reference/data"
+DATA = "/root/repo/data"
 
 
 def _load(newick_name, fasta_name):

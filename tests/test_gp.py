@@ -13,7 +13,7 @@ from libsbn_tpu.gp import GPInstance
 from libsbn_tpu.ops import pruning, schedule, substitution
 from libsbn_tpu.sbn import maps as sbn_maps
 
-DATA = "/root/reference/data"
+DATA = "/root/repo/data"
 
 
 def make_instance(fasta, newick_file):

@@ -11,7 +11,7 @@ from libsbn_tpu.utils.bitset import Bitset
 
 from test_gp import make_instance, per_pattern_log_likelihoods
 
-DATA = "/root/reference/data"
+DATA = "/root/repo/data"
 
 
 def classical_likelihoods_with_prior(trees, site_pattern):

@@ -10,7 +10,7 @@ import numpy as np
 
 from libsbn_tpu.gp import GPInstance
 
-DATA = "/root/reference/data"
+DATA = "/root/repo/data"
 
 
 def make_instance(fasta, newick_file, **kw):

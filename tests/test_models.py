@@ -128,10 +128,10 @@ def test_gtr_gradient_at_repeated_eigenvalues():
     from libsbn_tpu.ops import schedule
 
     tops, bls, ttm = newick.parse_newick_file(
-        "/root/reference/data/hello.nwk"
+        "/root/repo/data/hello.nwk"
     )
     sp = SitePattern(
-        Alignment.read_fasta("/root/reference/data/hello.fasta"), ttm
+        Alignment.read_fasta("/root/repo/data/hello.fasta"), ttm
     )
     spec = PhyloModelSpec("GTR", "constant", "strict")
     engine = LikelihoodEngine(sp, spec)

@@ -12,7 +12,7 @@ from libsbn_tpu.io.fasta import Alignment
 from libsbn_tpu.ops import pruning, pruning_pallas, substitution
 from libsbn_tpu.ops import schedule as schedule_ops
 
-DATA = "/root/reference/data"
+DATA = "/root/repo/data"
 
 
 @pytest.fixture(scope="module")

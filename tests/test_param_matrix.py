@@ -16,7 +16,7 @@ from libsbn_tpu.models.phylo_model import (
     parameters_from_flat,
 )
 
-DATA = "/root/reference/data"
+DATA = "/root/repo/data"
 
 
 def make_gtr_instance():

@@ -7,7 +7,7 @@ from libsbn_tpu import RootedInstance, UnrootedInstance
 from libsbn_tpu.core.topology import Topology
 from libsbn_tpu.models.phylo_model import PhyloModelSpec
 
-DATA = "/root/reference/data"
+DATA = "/root/repo/data"
 
 
 def random_unrooted(n, rng):

@@ -8,7 +8,7 @@ from libsbn_tpu.models.phylo_model import PhyloModelSpec
 from libsbn_tpu.vi import priors, scalar_models
 from libsbn_tpu.vi.burrito import Burrito
 
-DATA = "/root/reference/data"
+DATA = "/root/repo/data"
 
 
 def test_log_exp_prior():
@@ -361,10 +361,10 @@ def test_jitvbpi_elbo_and_marginal_estimators():
     from libsbn_tpu.vi.jit_step import JitVBPI
 
     inst = UnrootedInstance("elbo-est")
-    inst.read_nexus_file("/root/reference/data/hello_out.t")
+    inst.read_nexus_file("/root/repo/data/hello_out.t")
     inst.process_loaded_trees()
     inst.train_simple_average()
-    inst.read_fasta_file("/root/reference/data/hello.fasta")
+    inst.read_fasta_file("/root/repo/data/hello.fasta")
     inst.prepare_for_phylo_likelihood(
         PhyloModelSpec("JC69", "constant", "strict")
     )
@@ -394,10 +394,10 @@ def test_step_overlapped_pipeline():
 
     def make():
         inst = UnrootedInstance("overlap")
-        inst.read_nexus_file("/root/reference/data/hello_out.t")
+        inst.read_nexus_file("/root/repo/data/hello_out.t")
         inst.process_loaded_trees()
         inst.train_simple_average()
-        inst.read_fasta_file("/root/reference/data/hello.fasta")
+        inst.read_fasta_file("/root/repo/data/hello.fasta")
         inst.prepare_for_phylo_likelihood(
             PhyloModelSpec("JC69", "constant", "strict")
         )

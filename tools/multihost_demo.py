@@ -41,10 +41,10 @@ from libsbn_tpu.vi.jit_step import JitVBPI
 mesh = distributed.global_mesh(dp=4, sp=1)
 
 inst = UnrootedInstance("mh")
-inst.read_nexus_file("/root/reference/data/hello_out.t")
+inst.read_nexus_file("/root/repo/data/hello_out.t")
 inst.process_loaded_trees()
 inst.train_simple_average()
-inst.read_fasta_file("/root/reference/data/hello.fasta")
+inst.read_fasta_file("/root/repo/data/hello.fasta")
 inst.prepare_for_phylo_likelihood(PhyloModelSpec("JC69", "constant", "strict"))
 
 jv = JitVBPI(inst, particle_count=8, mesh=mesh, seed=0)

@@ -29,7 +29,7 @@ def timeit(label, fn, n=5):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--ladder-leaves", type=int, default=100)
-    parser.add_argument("--data", default="/root/reference/data")
+    parser.add_argument("--data", default="/root/repo/data")
     args = parser.parse_args()
 
     from libsbn_tpu.core.topology import Topology

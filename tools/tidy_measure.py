@@ -119,7 +119,7 @@ def main():
     dtype = np.float64
 
     rows = []
-    data = "/root/reference/data"
+    data = "/root/repo/data"
     rows.append(
         measure("fluA-69taxa", f"{data}/fluA.fa", f"{data}/fluA.tree", dtype)
     )

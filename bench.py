@@ -637,9 +637,11 @@ def config_forest():
     tips = jnp.asarray(sp.tip_partials(np.float32))
     w = jnp.asarray(sp.weights, jnp.float32)
 
+    # Timed full-gradient path: bf16 gathers in the (bandwidth-bound)
+    # up/edge phase; the parity gate below runs on THIS path.
     fn_full = jax.jit(jax.vmap(
         lambda b: forest.forest_jc_log_likelihoods_and_gradients(
-            fs, b, tips, w
+            fs, b, tips, w, gather_dtype=jnp.bfloat16
         )
     ))
     fn_ll = jax.jit(jax.vmap(
@@ -701,7 +703,8 @@ def config_forest():
         "schedule_build_seconds": round(build_s, 3),
         "op_sharing": round(stats["op_sharing"], 2),
         "note": "100 distinct MCMC topologies x 8 split-keyed bl sets; "
-                "parity: f32 device vs f64 native @0.5/1e-5 (LL), 2e-2 "
+                "fused rolling-block up pass, bf16 gradient-phase gathers; "
+                "parity: timed engine vs f64 native @0.5/1e-5 (LL), 2e-2 "
                 "(grad); the one-off schedule build "
                 f"({build_s * 1e3:.0f} ms) amortizes over launches",
     }

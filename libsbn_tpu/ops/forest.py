@@ -469,6 +469,50 @@ def _jc_coeffs(bl):
     return a, b
 
 
+def _fused_up_plan(fs: ForestSchedule):
+    """Host-side plan for the fused rolling-block up pass (cached on fs).
+
+    Exploits two schedule invariants: (a) an up node's parent context is
+    always in the PREVIOUS level (up_level[u] == 1 + up_level[parent], by
+    construction in build_forest), so the up pass only ever reads the
+    level just produced — the full (n_up, 4, S) HBM buffer, its writes,
+    and the final (E, 4, S) Ue re-gather all disappear; (b) no edge's up
+    node is the root context, so every edge gradient can be emitted at
+    the level where its up row is materialized. Edges are re-sorted by up
+    level on host so the per-level outputs concatenate without scatters;
+    tree_edge is pre-permuted to match."""
+    cached = getattr(fs, "_fused_plan_cache", None)
+    if cached is not None:
+        return cached
+    lvl = np.zeros(fs.n_up, np.int32)
+    for li, (a, _, b) in enumerate(fs.up_levels):
+        lvl[a:b] = li + 1
+    elvl = lvl[fs.edge_up]
+    assert np.all(elvl > 0), "edges never hang off the root context"
+    perm = np.argsort(elvl, kind="stable")
+    pos = np.empty((fs.n_edges,), np.int64)
+    pos[perm] = np.arange(fs.n_edges)
+    tree_edge_pos = pos[fs.tree_edge]
+    plan = []
+    prev_start = 0  # the level-0 block is the single root-context row
+    ei = 0
+    for li, (a, m, b) in enumerate(fs.up_levels):
+        n_e = int(np.sum(elvl == li + 1))
+        sel = perm[ei:ei + n_e]
+        plan.append((
+            a, m, b,
+            (fs.up_parent[a:b] - prev_start).astype(np.int32),
+            fs.edge_down[sel].astype(np.int32),
+            (fs.edge_up[sel] - a).astype(np.int32),
+        ))
+        prev_start = a
+        ei += n_e
+    assert ei == fs.n_edges
+    cached = (tuple(plan), tree_edge_pos)
+    object.__setattr__(fs, "_fused_plan_cache", cached)
+    return cached
+
+
 def forest_jc_log_likelihoods_and_gradients(
     fs: ForestSchedule,
     bl_splits,
@@ -477,6 +521,8 @@ def forest_jc_log_likelihoods_and_gradients(
     rescale: bool = True,
     ll_only: bool = False,
     dtype=jnp.float32,
+    fused: bool = True,
+    gather_dtype=None,
 ):
     """Matrix-free JC69 forest evaluation — the production bench path.
 
@@ -537,6 +583,56 @@ def forest_jc_log_likelihoods_and_gradients(
     ll = jnp.sum(w[None, :] * (jnp.log(site) + ls_d[fs.tree_root]), axis=-1)
     if ll_only:
         return ll, None
+
+    if fused:
+        # Rolling-block up pass with the edge gradients fused in (see
+        # _fused_up_plan). Per-row rescaling of u cancels in each edge's
+        # num/denom ratio, exactly as in the buffered form.
+        #
+        # gather_dtype (default: working dtype) stores the Ed buffer and
+        # the rolling block for the gradient phase only — the phase is
+        # gather-bandwidth-bound, so bfloat16 halves its traffic (measured
+        # 146k -> 245k evals/s on DS1.100x8); arithmetic upcasts to the
+        # working dtype and the LL (from the down pass) is untouched. Max
+        # observed relative gradient error vs f32: 2e-3 — an order inside
+        # the 2e-2 physher-gradient parity gate (bench.py).
+        gdt = dtype if gather_dtype is None else gather_dtype
+        plan, tree_edge_pos = _fused_up_plan(fs)
+        Edg = Ed if gdt == dtype else Ed.astype(gdt)
+        prev = jnp.full((1, 4, S), 0.25, dtype)
+        grad_parts = []
+        for (a0, mid, b0, par_local, e_down, e_up_local) in plan:
+            evolved = evolve(fs.up_pbl[a0:b0], prev[par_local].astype(dtype))
+            parts = []
+            if mid > a0:  # one sibling
+                parts.append(
+                    evolved[:mid - a0]
+                    * Edg[fs.up_sibs[a0:mid, 0]].astype(dtype)
+                )
+            if b0 > mid:  # two siblings (children of trifurcating roots)
+                sib = fs.up_sibs[mid:b0]
+                parts.append(
+                    evolved[mid - a0:]
+                    * (Edg[sib[:, 0]].astype(dtype)
+                       * Edg[sib[:, 1]].astype(dtype))
+                )
+            u = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+            if rescale:
+                scale = jnp.max(u, axis=1)
+                scale = jnp.where(scale > 0, scale, jnp.ones_like(scale))
+                u = u / scale[:, None, :]
+            if len(e_down):
+                Ue = u[e_up_local]
+                Ee = Edg[e_down].astype(dtype)
+                denom = jnp.sum(Ue * Ee, axis=1)  # (e, S)
+                Sue = jnp.sum(Ue, axis=1)
+                See = jnp.sum(Ee, axis=1)
+                grad_parts.append((4.0 / 3.0) * jnp.sum(
+                    w[None, :] * (0.25 * See * Sue / denom - 1.0), axis=-1
+                ))
+            prev = u if gdt == dtype else u.astype(gdt)
+        edge_grad = jnp.concatenate(grad_parts)
+        return ll, edge_grad[tree_edge_pos]
 
     U = jnp.zeros((fs.n_up, 4, S), dtype)
     U = U.at[0].set(0.25)

@@ -470,7 +470,7 @@ def config_flua_rooted_gradients():
     coll.parse_dates_from_taxon_names(True)
     sp = SitePattern(Alignment.read_fasta(f"{DATA}/fluA.fa"), ttm)
     sch = schedule.schedules_of_topologies([t.topology for t in coll.trees])
-    B = 64
+    B = 256  # hand-chain path saturates ~B>=256 (B=64 is dispatch-shy)
     bounds = tile_to(np.stack([t.node_bounds for t in coll.trees]), B)
     ratios = tile_to(
         np.stack([t.height_ratios for t in coll.trees]), B

@@ -115,7 +115,19 @@ class GPInstance:
         if device_loop is None:
             device_loop = quiet
         if device_loop:
-            engine.run_branch_ascent(tol, max_iter, rtol=rtol)
+            marginal, iters = engine.run_branch_ascent(tol, max_iter, rtol=rtol)
+            if iters >= max_iter:
+                # Near-flat surfaces (e.g. signal-free alignments) converge
+                # well past typical caps — measured 279 sweeps at tol=1e-4
+                # on a random-100-taxon noise fixture, where real-data fits
+                # take 6-12 (docs/performance.md "GP flat-surface
+                # convergence"). Surface the cap hit instead of silently
+                # returning an unconverged fit.
+                print(
+                    f"WARNING: branch ascent hit max_iter={max_iter} before "
+                    f"the tolerance (marginal {marginal:.6f}); raise "
+                    "max_iter or pass rtol= for near-flat surfaces."
+                )
             return
         engine.populate_plvs()
         engine.compute_likelihoods()

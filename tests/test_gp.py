@@ -7,6 +7,7 @@ gp_doctest.cpp:110-216)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from scipy.special import logsumexp
 
 from libsbn_tpu.gp import GPInstance
@@ -467,3 +468,37 @@ def test_relative_tolerance_ascent():
     )
     assert it_st <= it_exact
     assert abs(m_st - m_exact) <= 1e-3 * abs(m_exact)
+
+
+@pytest.mark.slow
+def test_flat_surface_ascent_converges_below_cap(tmp_path):
+    """Near-flat (noise-alignment) surfaces converge at the absolute 1e-4
+    tolerance — beyond the old 100-sweep cap but well bounded (the round-3
+    'stall' was a cap artifact: period-2 Jacobi oscillation among
+    near-zero-signal edges slows the tail, it does not diverge; 9 damping/
+    acceleration variants measured in docs/performance.md, none beats the
+    plain damped ascent's converged marginal). Robustness bar:
+    gp_engine.cpp:326-345 (Brent + reject-if-worse)."""
+    rng = np.random.default_rng(0)
+    taxa, sites = 60, 256
+    names = [f"t{i}" for i in range(taxa)]
+    nodes = [f"{n}:0.05" for n in names]
+    while len(nodes) > 1:
+        i, j = sorted(rng.choice(len(nodes), 2, replace=False))
+        b = nodes.pop(j)
+        a = nodes.pop(i)
+        nodes.append(f"({a},{b}):{rng.uniform(0.02, 0.1):.4f}")
+    (tmp_path / "flat.nwk").write_text(nodes[0].rsplit(":", 1)[0] + ";\n")
+    with open(tmp_path / "flat.fasta", "w") as f:
+        for n in names:
+            f.write(f">{n}\n{''.join(rng.choice(list('ACGT'), sites))}\n")
+
+    inst = GPInstance("flat")
+    inst.read_newick_file(str(tmp_path / "flat.nwk"))
+    inst.read_fasta_file(str(tmp_path / "flat.fasta"))
+    inst.make_engine(dtype=np.float64)
+    eng = inst.get_engine()
+    marginal, iters = eng.run_branch_ascent(1e-4, 400)
+    assert iters < 400, f"flat-surface ascent hit the cap ({iters})"
+    # Seeded fixture: the converged point is deterministic.
+    assert abs(marginal - (-21248.732011)) < 0.5, marginal

@@ -658,7 +658,10 @@ class LikelihoodEngine:
         root_id = sched.root_id
         n_height_iters = self._height_iters(sched)
         if self.use_pallas and not per_tree:
-            if self.spec.substitution == "JC69":
+            # The hand chain runs the f32 matrix-free JC kernel; f64
+            # engines (CPU parity) keep the AD path through the generic
+            # VJP kernel.
+            if self.spec.substitution == "JC69" and self.dtype == jnp.float32:
                 return self._rooted_phylo_gradients_hand(
                     sched, bounds, ratios, rates, params, strict_clock
                 )

@@ -458,3 +458,37 @@ def test_jc_sharded_matches_local(ds1):
     )
     np.testing.assert_allclose(np.asarray(ll1), np.asarray(ll0), atol=1e-3)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), atol=1e-2)
+
+
+def test_engine_rooted_hand_chain_matches_ad_f32():
+    """The JC69 hand chain rule (one fused kernel pass + dense BEAST
+    recursions, models/engine._rooted_phylo_gradients_hand) == AD through
+    the same f32 kernel (rooted_gradient_transforms.cpp:17-162 semantics)."""
+    from libsbn_tpu import RootedInstance
+    from libsbn_tpu.models.phylo_model import PhyloModelSpec
+
+    inst = RootedInstance("fluA")
+    inst.read_newick_file(f"{DATA}/fluA.tree")
+    inst.read_fasta_file(f"{DATA}/fluA.fa")
+    inst.parse_dates_from_taxon_names(True)
+    inst.prepare_for_phylo_likelihood(
+        PhyloModelSpec("JC69", "constant", "strict")
+    )
+    eng = inst.engine
+    eng.dtype = jnp.float32
+    eng.use_pallas = True
+    eng.pallas_interpret = True
+    sched = inst._batched_schedule()
+    bounds, ratios, rates = inst._time_tree_arrays()
+    params, _ = inst._compute_params()
+    hand = eng._rooted_phylo_gradients_hand(
+        sched, bounds, ratios, rates, params, True
+    )
+    ad = eng._rooted_phylo_gradients_pallas(
+        sched, bounds, ratios, rates, params, True
+    )
+    for k in ("log_likelihood", "ratios_root_height", "clock_model"):
+        np.testing.assert_allclose(
+            np.asarray(hand[k]), np.asarray(ad[k]), rtol=1e-3, atol=0.1,
+            err_msg=k,
+        )

@@ -319,7 +319,10 @@ def config_hello_ll():
         "vs_baseline": round(evals_s / base, 2),
         "baseline_evals_per_sec": round(base, 1),
         "note": f"hello {sch.leaf_count} taxa, {sp.weights.shape[0]} patterns"
-                "; LL-only both sides; parity: hello golden @1e-3 (f32)",
+                "; LL-only both sides; parity: hello golden @1e-3 (f32); "
+                "dispatch-bound microworkload (one 15-pattern tree per "
+                "launch) — the ratio reflects launch overhead, not kernel "
+                "throughput; see ds1/forest configs for compute-bound rates",
     }
 
 

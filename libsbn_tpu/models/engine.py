@@ -77,6 +77,10 @@ class LikelihoodEngine:
         )
         # Run the Pallas kernels in interpreter mode (CPU testing).
         self.pallas_interpret = False
+        # Heights fixed-point lowering for the hand-chain path: "sweeps"
+        # (sequential one-hot matvecs) or "squaring" (log-depth affine-map
+        # matrix squarings on the MXU; exact — see ops/heights.py).
+        self.heights_method = "sweeps"
         self._jit_cache: Dict = {}
 
     @property
@@ -378,10 +382,12 @@ class LikelihoodEngine:
                 mt = self._model_tensors(params)
                 site_rates, props = mt[4], mt[5]
 
+                method = self.heights_method
+
                 def hfwd(pre_n, pre_p, bounds1, ratios1):
                     return heights_ops.node_heights_from_ratios(
                         ratios1, bounds1, leaf_count, pre_n, pre_p,
-                        n_iters=n_height_iters,
+                        n_iters=n_height_iters, method=method,
                     )
 
                 h = jax.vmap(hfwd)(pre_node, pre_parent, bounds, ratios)
@@ -408,6 +414,7 @@ class LikelihoodEngine:
                         ratio_and_rate_gradients_from_branch_gradient(
                             g1, ratios1, bounds1, rates1, leaf_count,
                             pre_n, pre_p, par, n_height_iters, heights=h1,
+                            method=method,
                         )
 
                 dratios, drates, _ = jax.vmap(back)(
@@ -418,7 +425,11 @@ class LikelihoodEngine:
 
             return jax.jit(fn)
 
-        fn = self._cached(("rooted_grad_hand", root_id, n_height_iters), build)
+        fn = self._cached(
+            ("rooted_grad_hand", root_id, n_height_iters,
+             self.heights_method),
+            build,
+        )
         lls, ldjs, dratios, drates = fn(
             self._sched_dev(sched, "post_children"),
             self._sched_dev(sched, "pre_internal_node"),

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 def node_heights_from_ratios(
     ratios, node_bounds, leaf_count, pre_internal_node, pre_internal_parent,
-    n_iters=None,
+    n_iters=None, method="sweeps",
 ):
     """height_ratios (leaf_count-1, last entry = root height) -> node heights.
 
@@ -59,6 +59,21 @@ def node_heights_from_ratios(
     # nothing) and reverse-differentiates as the transposed matvec.
     P = jax.nn.one_hot(parent_full, n, dtype=dtype)
 
+    if method == "squaring":
+        # The sweep is affine: h' = A h + c with A = diag(r) P and
+        # c = (1 - r) * b; compose it with itself log2(n_iters) times
+        # ((A, c) -> (A^2, A c + c)) — exact for any count >= max depth
+        # (extra applications fix the converged point). Trades the
+        # sequential matvec chain for a handful of MXU matmuls.
+        import math
+
+        A = r_full[:, None] * P
+        c = b - r_full * b
+        for _ in range(max(1, math.ceil(math.log2(max(n_iters, 2))))):
+            c = A @ c + c
+            A = A @ A
+        return A @ h0 + c
+
     def sweep(_, h):
         return b + r_full * (P @ h - b)
 
@@ -73,7 +88,7 @@ def branch_lengths_from_heights(heights, parent):
 def ratio_and_rate_gradients_from_branch_gradient(
     g_bl_scaled, ratios, node_bounds, rates, leaf_count,
     pre_internal_node, pre_internal_parent, parent, n_iters,
-    include_jacobian=True, heights=None,
+    include_jacobian=True, heights=None, method="sweeps",
 ):
     """Hand chain rule: fused-kernel branch gradient -> (d obj/d ratios,
     d obj/d rates, heights), obj = LL (+ the height-ratio log-det-Jacobian).
@@ -114,8 +129,14 @@ def ratio_and_rate_gradients_from_branch_gradient(
         mask = jnp.zeros((n - 1,), dtype).at[leaf_count:].set(1.0)
         g_h = g_h + E.T @ (mask * inv)
 
-    # Adjoint sweeps of the fixed-point transform (one-hot matvecs, same
-    # operator family as the forward sweep in node_heights_from_ratios).
+    # Adjoint of the fixed-point transform. Two lowerings of the same
+    # series W = sum_j (A^T)^j g_h, w_final = (A^T)^K g_h with
+    # A = diag(r) P (exact for any K >= max depth: A^j is zero off the
+    # root column beyond the depth, and the root rows of dS/dr vanish):
+    #  * "sweeps": K sequential one-hot matvecs — latency-bound;
+    #  * "squaring": log2(K) matrix squarings of (S_k, M_k) with
+    #    S_{k+1} = S_k + M_k S_k, M_{k+1} = M_k^2 — MXU matmuls, ~4x
+    #    fewer sequential steps (used by the deep hand-chain path).
     n_internal = n - leaf_count - 1
     r_full = jnp.zeros((n,), dtype)
     r_full = r_full.at[leaf_count:n - 1].set(
@@ -126,12 +147,25 @@ def ratio_and_rate_gradients_from_branch_gradient(
     parent_full = parent_full.at[pre_internal_node].set(pre_internal_parent)
     P = jax.nn.one_hot(parent_full, n, dtype=dtype)
 
-    def sweep(_, carry):
-        w, W = carry
-        w = P.T @ (r_full * w)
-        return w, W + w
+    if method == "squaring":
+        import math
 
-    w_final, W = jax.lax.fori_loop(0, n_iters, sweep, (g_h, g_h))
+        At = (r_full[:, None] * P).T
+        S = jnp.eye(n, dtype=dtype)
+        M = At
+        for _ in range(max(1, math.ceil(math.log2(max(n_iters, 2))))):
+            S = S + M @ S
+            M = M @ M
+        W = S @ g_h
+        w_final = M @ g_h
+    else:
+
+        def sweep(_, carry):
+            w, W = carry
+            w = P.T @ (r_full * w)
+            return w, W + w
+
+        w_final, W = jax.lax.fori_loop(0, n_iters, sweep, (g_h, g_h))
 
     # d sweep/d r_v = (h[parent_v] - b_v) at internal non-root v; the root
     # slot of the ratio vector is the initial condition h0_root.

@@ -358,14 +358,15 @@ def config_gtr_weibull4_ll():
     post_node = jnp.asarray(tile_to(np.asarray(sch.post_node), B))
 
     if jax.default_backend() == "tpu":
-        # Fastest GTR path: the generic K-category Pallas kernel. It also
-        # emits branch gradients; counting its rate against an LL-only
-        # native denominator is conservative for the ratio.
-        from libsbn_tpu.ops import pruning_pallas
+        # LL-only generic K-category Pallas kernel — shape-matched to the
+        # LL-only native denominator (the fused LL+grad kernel measures
+        # 2.55x slower here and is the gradient path's concern; LLs are
+        # bit-identical between the two).
+        from libsbn_tpu.ops import pruning_pallas, pruning_pallas_vjp
 
-        Q32 = f32(Q)
         pc_np = np.asarray(tile_to(np.asarray(sch.post_children), B),
                            np.int32)
+        tips_p, w_p = pruning_pallas.pad_patterns(tips, w)
 
         def run_batch(b):
             P = jax.vmap(
@@ -373,10 +374,10 @@ def config_gtr_weibull4_ll():
                     evec32, ivec32, evals32, one_bl, rates32
                 )
             )(b)
-            return pruning_pallas.log_likelihood_and_branch_gradient_pallas(
-                pc_np, P, Q32 * rates32[:, None, None], tips, freqs32, w,
-                root_id=sch.root_id, props=props32,
-            )[0]
+            return pruning_pallas_vjp.log_likelihoods_pallas(
+                pc_np, P, freqs32, props32, tips_p, w_p,
+                sch.leaf_count, sch.root_id,
+            )
 
         fn2 = jax.jit(run_batch)
         bl_d = jax.device_put(jnp.asarray(blp))
@@ -425,6 +426,9 @@ def config_gtr_weibull4_ll():
         "vs_baseline": round(evals_s / base, 2),
         "baseline_evals_per_sec": round(base, 1),
         "note": "GTR+Weibull-4 over 100 distinct topologies (tiled to 256);"
+                " LL-only generic Pallas kernel, shape-matched to the"
+                " LL-only native denominator (the fused LL+grad kernel is"
+                " 2.55x slower and bit-identical on LLs);"
                 " parity: f32 device vs f64 native @0.5/1e-5",
     }
 

@@ -320,9 +320,11 @@ def config_hello_ll():
         "baseline_evals_per_sec": round(base, 1),
         "note": f"hello {sch.leaf_count} taxa, {sp.weights.shape[0]} patterns"
                 "; LL-only both sides; parity: hello golden @1e-3 (f32); "
-                "dispatch-bound microworkload (one 15-pattern tree per "
-                "launch) — the ratio reflects launch overhead, not kernel "
-                "throughput; see ds1/forest configs for compute-bound rates",
+                "dispatch-bound microworkload (a 3-taxon eval is ~1k FLOPs) "
+                "— the ratio reflects per-eval overhead, not kernel "
+                "throughput (the JC Pallas kernel measured 2.4M here: its "
+                "128-lane pattern padding is 8.5x waste at 15 patterns); "
+                "see ds1/forest configs for compute-bound rates",
     }
 
 

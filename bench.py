@@ -91,10 +91,13 @@ def _force(out):
     return np.asarray(leaf).ravel()[0]
 
 
-def timed_evals_per_sec(run, n_evals, windows=3, target_s=1.0):
+def timed_evals_per_sec(run, n_evals, windows=3, target_s=2.0):
     """Best-of-N-windows throughput with fixed iteration counts (NEVER an
     unbounded async dispatch loop: over the tunneled chip, queued launches
-    outrun wall-clock checks) and a value fetch as the barrier."""
+    outrun wall-clock checks) and a value fetch as the barrier. target_s=2
+    amortizes the tunnel RTT enough that bench windows track the long-
+    window harness numbers (1-second windows under-reported the kernel by
+    ~4-10%, docs/performance.md round-4 timing note)."""
     _force(run())  # compile + warmup (never timed)
     t0 = time.time()
     _force(run())

@@ -368,15 +368,13 @@ class LikelihoodEngine:
         sweeps (ops/heights.py). Replaces AD-through-the-core (fwd kernel +
         bwd kernel + transform tape): measured 8.7k -> >20k gradient
         evals/s on fluA B=256 (v5e)."""
-        from ..ops import pruning_pallas, pruning_pallas_jc
+        from ..ops import pruning_pallas_jc
 
         leaf_count = sched.leaf_count
         root_id = sched.root_id
         n_height_iters = self._height_iters(sched)
 
         def build():
-            tips_p, w_p = pruning_pallas.pad_patterns(self.tips, self.weights)
-
             def fn(post_children, pre_node, pre_parent, parent, bounds,
                    ratios, rates, params):
                 mt = self._model_tensors(params)
@@ -403,12 +401,6 @@ class LikelihoodEngine:
                         interpret=self.pallas_interpret,
                     )
                 )
-                ldjs = jax.vmap(
-                    lambda h1, b1, p1: heights_ops.log_det_jacobian(
-                        h1, b1, p1, leaf_count
-                    )
-                )(h, bounds, parent)
-
                 def back(g1, ratios1, bounds1, rates1, pre_n, pre_p, par, h1):
                     return heights_ops.\
                         ratio_and_rate_gradients_from_branch_gradient(
@@ -421,7 +413,7 @@ class LikelihoodEngine:
                     g_scaled[:, : root_id], ratios, bounds, rates,
                     pre_node, pre_parent, parent, h,
                 )
-                return lls, ldjs, dratios, drates
+                return lls, dratios, drates
 
             return jax.jit(fn)
 
@@ -430,7 +422,7 @@ class LikelihoodEngine:
              self.heights_method),
             build,
         )
-        lls, ldjs, dratios, drates = fn(
+        lls, dratios, drates = fn(
             self._sched_dev(sched, "post_children"),
             self._sched_dev(sched, "pre_internal_node"),
             self._sched_dev(sched, "pre_internal_parent"),

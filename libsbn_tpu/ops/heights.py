@@ -112,7 +112,7 @@ def ratio_and_rate_gradients_from_branch_gradient(
     if h is None:
         h = node_heights_from_ratios(
             ratios, node_bounds, leaf_count, pre_internal_node,
-            pre_internal_parent, n_iters=n_iters,
+            pre_internal_parent, n_iters=n_iters, method=method,
         )
     bl = branch_lengths_from_heights(h, parent)
     g_rates = g_bl_scaled * bl

@@ -502,3 +502,18 @@ def test_flat_surface_ascent_converges_below_cap(tmp_path):
     assert iters < 400, f"flat-surface ascent hit the cap ({iters})"
     # Seeded fixture: the converged point is deterministic.
     assert abs(marginal - (-21248.732011)) < 0.5, marginal
+
+
+def test_ascent_cap_hit_warns(capsys):
+    """estimate_branch_lengths surfaces an unconverged (cap-hit) fit
+    instead of silently returning (round-5 no-silent-stall guarantee)."""
+    inst = GPInstance("warn")
+    inst.read_fasta_file(f"{DATA}/five_taxon.fasta")
+    inst.read_newick_file(f"{DATA}/five_taxon_rooted.nwk")
+    inst.make_engine(dtype=np.float64)
+    inst.estimate_branch_lengths(1e-12, 1)  # cap guaranteed to hit
+    out = capsys.readouterr().out
+    assert "hit max_iter" in out
+    inst.estimate_branch_lengths(1e-4, 50)  # converges: no warning
+    out = capsys.readouterr().out
+    assert "hit max_iter" not in out

@@ -232,3 +232,33 @@ def test_forest_split_canonicalization_across_rootings():
         tips, freqs, jnp.ones(1), jnp.ones(1), w,
     )
     np.testing.assert_allclose(float(ll[0]), float(ll[1]), rtol=1e-12)
+
+
+def test_forest_large_taxon_masks():
+    """69-taxon clade masks exceed int64 — the schedule must keep Python
+    ints (round-5 fix) and still evaluate correctly on a 1-tree forest."""
+    tops, bls, ttm = newick.parse_newick_file("/root/repo/data/fluA.tree")
+    for t in tops:
+        t.polish()
+    fs = forest.build_forest(tops)
+    assert fs.leaf_count == 69
+    assert max(fs.split_of_clade) >> 63 > 0  # masks genuinely >63 bits
+    sp = SitePattern(Alignment.read_fasta("/root/repo/data/fluA.fa"), ttm)
+    bl_splits = fs.branch_lengths_from_tree(tops[0], bls[0])
+    ll, grad = forest.forest_jc_log_likelihoods_and_gradients(
+        fs, jnp.asarray(bl_splits), jnp.asarray(sp.tip_partials()),
+        jnp.asarray(sp.weights), dtype=jnp.float64,
+    )
+    # Cross-check against the per-tree engine.
+    sched = schedule.schedule_of_topology(tops[0])
+    freqs, evec, ivec, evals = substitution.jc69_eigen()
+    bl_p = jnp.asarray(np.concatenate([fs.tree_branch_lengths(tops[0], bl_splits), [0.0]]))
+    P = pruning.node_transition_matrices(evec, ivec, evals, bl_p, jnp.ones(1))
+    ll_t, grad_t = pruning.log_likelihood_and_branch_gradient(
+        sched, P, substitution.jc69_q()[None], jnp.asarray(sp.tip_partials()),
+        freqs, jnp.ones(1), jnp.asarray(sp.weights), True,
+    )
+    np.testing.assert_allclose(float(ll[0]), float(ll_t), rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(grad[0]), np.asarray(grad_t), rtol=1e-8, atol=1e-9
+    )

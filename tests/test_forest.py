@@ -234,6 +234,7 @@ def test_forest_split_canonicalization_across_rootings():
     np.testing.assert_allclose(float(ll[0]), float(ll[1]), rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_forest_large_taxon_masks():
     """69-taxon clade masks exceed int64 — the schedule must keep Python
     ints (round-5 fix) and still evaluate correctly on a 1-tree forest."""

@@ -553,7 +553,9 @@ class GPEngine:
             (jnp.asarray(0, jnp.int32), bl0, plvs0, cur0,
              jnp.asarray(False)),
         )
-        return bl, plvs, cur, i
+        # `done` distinguishes tolerance-met from cap-hit: i == max_iter
+        # alone cannot (a fit can converge on exactly the last sweep).
+        return bl, plvs, cur, i, done
 
     # -- streamed (beyond-HBM) coordinate ascent -------------------------------
     def run_branch_ascent_streamed(
@@ -793,7 +795,7 @@ class GPEngine:
         see docs/performance.md "Tidy-DAG deviation" caveat."""
         if self._ascent_jit is None:
             self._ascent_jit = jax.jit(self._ascent_impl)
-        bl, plvs, cur, iters = self._ascent_jit(
+        bl, plvs, cur, iters, done = self._ascent_jit(
             jnp.asarray(self.branch_lengths, self.dtype),
             jnp.asarray(self.q, self.dtype),
             jnp.asarray(tol, self.dtype),
@@ -802,6 +804,7 @@ class GPEngine:
         )
         self.branch_lengths = np.asarray(bl)
         self.plvs = plvs
+        self.last_ascent_converged = bool(done) or int(iters) < int(max_iter)
         self.compute_likelihoods()
         return float(cur), int(iters)
 

@@ -116,7 +116,7 @@ class GPInstance:
             device_loop = quiet
         if device_loop:
             marginal, iters = engine.run_branch_ascent(tol, max_iter, rtol=rtol)
-            if iters >= max_iter:
+            if not engine.last_ascent_converged:
                 # Near-flat surfaces (e.g. signal-free alignments) converge
                 # well past typical caps — measured 279 sweeps at tol=1e-4
                 # on a random-100-taxon noise fixture, where real-data fits

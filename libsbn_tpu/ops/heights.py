@@ -124,10 +124,15 @@ def ratio_and_rate_gradients_from_branch_gradient(
     g_h = g_h - jnp.pad(g_bl, (0, 1))
     if include_jacobian:
         # d/dh of sum over internal non-root i of log(h[parent_i] - b_i):
-        # +1/(h_par - b_i) at the parent (b_i is constant).
-        inv = 1.0 / (h[parent] - b[:-1])
+        # +1/(h_par - b_i) at the parent (b_i is constant). Guard the
+        # division on the MASKED (leaf) rows: a leaf whose height equals
+        # its parent's (ratio 0 / f32 underflow) would otherwise produce
+        # 0 * inf = NaN and poison the whole tree's gradient — the AD
+        # path slices to internal rows before the log and stays finite.
+        diff = h[parent] - b[:-1]
         mask = jnp.zeros((n - 1,), dtype).at[leaf_count:].set(1.0)
-        g_h = g_h + E.T @ (mask * inv)
+        inv = mask / jnp.where(mask > 0, diff, 1.0)
+        g_h = g_h + E.T @ inv
 
     # Adjoint of the fixed-point transform. Two lowerings of the same
     # series W = sum_j (A^T)^j g_h, w_final = (A^T)^K g_h with

@@ -1,6 +1,7 @@
 """API-surface tests ported from the reference's Python suite
 (test/test_libsbn.py) plus BlockSpecification and date-parsing doctests."""
 
+import os
 import json
 
 import numpy as np
@@ -11,7 +12,9 @@ from libsbn_tpu.core.tree import UnrootedTree, UnrootedTreeCollection
 from libsbn_tpu.models.block_specification import BlockSpecification
 from libsbn_tpu.models.phylo_model import PhyloModelSpec, parameters_from_flat
 
-DATA = "/root/repo/data"
+DATA = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data"
+)
 SIMPLE = PhyloModelSpec("JC69", "constant", "none")
 
 
@@ -254,10 +257,10 @@ def test_jitvbpi_mode_match_matches_branch_models():
     from libsbn_tpu.vi.jit_step import JitVBPI
 
     inst = UnrootedInstance("mm")
-    inst.read_nexus_file("/root/repo/data/hello_out.t")
+    inst.read_nexus_file(f"{DATA}/hello_out.t")
     inst.process_loaded_trees()
     inst.train_simple_average()
-    inst.read_fasta_file("/root/repo/data/hello.fasta")
+    inst.read_fasta_file(f"{DATA}/hello.fasta")
     inst.prepare_for_phylo_likelihood(
         PhyloModelSpec("JC69", "constant", "strict")
     )

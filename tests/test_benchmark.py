@@ -1,5 +1,6 @@
 """End-to-end vip-benchmark and optimizer behavior tests."""
 
+import os
 import shutil
 
 import numpy as np
@@ -7,7 +8,9 @@ import pytest
 
 from libsbn_tpu.vi import benchmark, optimizers, scalar_models
 
-DATA = "/root/repo/data"
+DATA = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data"
+)
 
 
 @pytest.fixture()

@@ -1,5 +1,6 @@
 """Checkpoint/resume round trip for VBPI training state."""
 
+import os
 import numpy as np
 import pytest
 
@@ -7,7 +8,9 @@ from libsbn_tpu.models.phylo_model import PhyloModelSpec
 from libsbn_tpu.vi import checkpoint
 from libsbn_tpu.vi.burrito import Burrito
 
-DATA = "/root/repo/data"
+DATA = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data"
+)
 
 
 def make_burrito(seed=0):

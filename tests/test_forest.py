@@ -6,6 +6,7 @@ must equal the classic per-tree kernels exactly (same math, shared order);
 reference mechanism being replaced: one-BEAGLE-instance-per-tree
 (fat_beagle.hpp:119-149)."""
 
+import os
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -15,7 +16,9 @@ from libsbn_tpu.io.fasta import Alignment
 from libsbn_tpu.io import newick
 from libsbn_tpu.ops import forest, pruning, schedule, substitution
 
-DATA = "/root/repo/data"
+DATA = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data"
+)
 
 
 def _load(newick_name, fasta_name):
@@ -238,13 +241,13 @@ def test_forest_split_canonicalization_across_rootings():
 def test_forest_large_taxon_masks():
     """69-taxon clade masks exceed int64 — the schedule must keep Python
     ints (round-5 fix) and still evaluate correctly on a 1-tree forest."""
-    tops, bls, ttm = newick.parse_newick_file("/root/repo/data/fluA.tree")
+    tops, bls, ttm = newick.parse_newick_file(f"{DATA}/fluA.tree")
     for t in tops:
         t.polish()
     fs = forest.build_forest(tops)
     assert fs.leaf_count == 69
     assert max(fs.split_of_clade) >> 63 > 0  # masks genuinely >63 bits
-    sp = SitePattern(Alignment.read_fasta("/root/repo/data/fluA.fa"), ttm)
+    sp = SitePattern(Alignment.read_fasta(f"{DATA}/fluA.fa"), ttm)
     bl_splits = fs.branch_lengths_from_tree(tops[0], bls[0])
     ll, grad = forest.forest_jc_log_likelihoods_and_gradients(
         fs, jnp.asarray(bl_splits), jnp.asarray(sp.tip_partials()),

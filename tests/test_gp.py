@@ -5,6 +5,7 @@ subsplit DAG must equal the exact marginal obtained by enumerating ALL trees
 the DAG spans and log-summing their per-site likelihoods (ComputeExactMarginal,
 gp_doctest.cpp:110-216)."""
 
+import os
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -14,7 +15,9 @@ from libsbn_tpu.gp import GPInstance
 from libsbn_tpu.ops import pruning, schedule, substitution
 from libsbn_tpu.sbn import maps as sbn_maps
 
-DATA = "/root/repo/data"
+DATA = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data"
+)
 
 
 def make_instance(fasta, newick_file):

@@ -1,6 +1,7 @@
 """Quartet hybrid marginals and DAG probability tests
 (gp_doctest.cpp:414-597, rooted_sbn_instance.hpp:194-216)."""
 
+import os
 import numpy as np
 from scipy.special import logsumexp
 
@@ -11,7 +12,9 @@ from libsbn_tpu.utils.bitset import Bitset
 
 from test_gp import make_instance, per_pattern_log_likelihoods
 
-DATA = "/root/repo/data"
+DATA = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data"
+)
 
 
 def classical_likelihoods_with_prior(trees, site_pattern):

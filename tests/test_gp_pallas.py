@@ -5,12 +5,15 @@ differ from the XLA path's per-node scalars, so parity is gated on the
 scale-invariant quantities: likelihood rows, marginals, per-GPCSP LLs, and
 the branch-optimization output driven from the kernel's PLVs."""
 
+import os
 import pytest
 import numpy as np
 
 from libsbn_tpu.gp import GPInstance
 
-DATA = "/root/repo/data"
+DATA = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data"
+)
 
 
 def make_instance(fasta, newick_file, **kw):

@@ -6,10 +6,15 @@ Golden numbers from the reference doctests:
   * JC69 transition matrix entries (gp_engine.hpp:217-221).
 """
 
+import os
 import jax.numpy as jnp
 import numpy as np
 
 from libsbn_tpu.ops import site_model, substitution
+
+DATA = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data"
+)
 
 
 def test_weibull_rates_vs_r():
@@ -128,10 +133,10 @@ def test_gtr_gradient_at_repeated_eigenvalues():
     from libsbn_tpu.ops import schedule
 
     tops, bls, ttm = newick.parse_newick_file(
-        "/root/repo/data/hello.nwk"
+        f"{DATA}/hello.nwk"
     )
     sp = SitePattern(
-        Alignment.read_fasta("/root/repo/data/hello.fasta"), ttm
+        Alignment.read_fasta(f"{DATA}/hello.fasta"), ttm
     )
     spec = PhyloModelSpec("GTR", "constant", "strict")
     engine = LikelihoodEngine(sp, spec)

@@ -1,6 +1,7 @@
 """Parity of the fused Pallas pruning kernel (interpret mode on CPU) against
 the scan engine — same math, so agreement is at float tolerance."""
 
+import os
 import numpy as np
 import pytest
 import jax
@@ -12,7 +13,9 @@ from libsbn_tpu.io.fasta import Alignment
 from libsbn_tpu.ops import pruning, pruning_pallas, substitution
 from libsbn_tpu.ops import schedule as schedule_ops
 
-DATA = "/root/repo/data"
+DATA = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data"
+)
 
 
 @pytest.fixture(scope="module")

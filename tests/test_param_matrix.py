@@ -16,7 +16,9 @@ from libsbn_tpu.models.phylo_model import (
     parameters_from_flat,
 )
 
-DATA = "/root/repo/data"
+DATA = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data"
+)
 
 
 def make_gtr_instance():

@@ -13,6 +13,12 @@ from libsbn_tpu.models.engine import LikelihoodEngine
 from libsbn_tpu.models.phylo_model import PhyloModelSpec, default_parameters
 from libsbn_tpu.ops import schedule
 
+import os
+
+DATA = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data"
+)
+
 PHYSHER_LL = -4777.616349
 PHYSHER_JACOBIAN = -9.25135166
 
@@ -166,3 +172,96 @@ def test_stick_breaking_vs_pytorch():
     np.testing.assert_allclose(yy, y, atol=1e-5)
     j = transforms.stick_breaking_log_abs_det_jacobian(x, y)
     assert abs(float(j) - (-9.108352)) < 1e-5
+
+
+def test_heights_squaring_matches_sweeps():
+    """The affine-map 'squaring' lowering of the heights fixed point and
+    its adjoint equals the sweep lowering exactly (opt-in path,
+    engine.heights_method; ops/heights.py)."""
+    from libsbn_tpu.io import newick as newick_io
+    from libsbn_tpu.ops import heights as H
+    from libsbn_tpu.ops import schedule as schedule_ops
+
+    tops, bls, ttm = newick_io.parse_newick_file(f"{DATA}/fluA.tree")
+    sch = schedule_ops.schedule_of_topology(tops[0])
+    n, L = sch.node_count, sch.leaf_count
+    pre_n = jnp.asarray(sch.pre_internal_node)
+    pre_p = jnp.asarray(sch.pre_internal_parent)
+    par = jnp.asarray(sch.parent)
+    rng = np.random.default_rng(1)
+    bounds = np.zeros(n)
+    bounds[:L] = rng.uniform(0.0, 0.5, L)
+    for step in range(sch.post_node.shape[0]):
+        v = int(sch.post_node[step])
+        kids = sch.post_children[step]
+        bounds[v] = max(bounds[int(k)] for k in kids if int(k) < n)
+    bounds = jnp.asarray(bounds)
+    ratios = jnp.asarray(np.clip(rng.uniform(0.2, 0.8, L - 1), 1e-3, 1 - 1e-3))
+    ratios = ratios.at[-1].set(float(bounds[-1]) + 1.0)
+    rates = jnp.asarray(rng.uniform(0.5, 2.0, n - 1))
+    g = jnp.asarray(rng.normal(size=(n - 1,)))
+    for n_it in (32, 37):
+        h1 = H.node_heights_from_ratios(
+            ratios, bounds, L, pre_n, pre_p, n_iters=n_it
+        )
+        h2 = H.node_heights_from_ratios(
+            ratios, bounds, L, pre_n, pre_p, n_iters=n_it, method="squaring"
+        )
+        np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-13)
+        d1 = H.ratio_and_rate_gradients_from_branch_gradient(
+            g, ratios, bounds, rates, L, pre_n, pre_p, par, n_it
+        )
+        d2 = H.ratio_and_rate_gradients_from_branch_gradient(
+            g, ratios, bounds, rates, L, pre_n, pre_p, par, n_it,
+            method="squaring",
+        )
+        np.testing.assert_allclose(
+            np.asarray(d1[0]), np.asarray(d2[0]), atol=1e-10
+        )
+        np.testing.assert_allclose(np.asarray(d1[1]), np.asarray(d2[1]))
+
+
+def test_hand_chain_jacobian_guard_no_nan():
+    """A leaf whose height coincides with its parent's (zero-length
+    pendant branch) must not NaN the ratio gradient (round-5 review
+    finding: 0 * inf in the masked Jacobian rows)."""
+    from libsbn_tpu.io import newick as newick_io
+    from libsbn_tpu.ops import heights as H
+    from libsbn_tpu.ops import schedule as schedule_ops
+
+    tops, bls, ttm = newick_io.parse_newick_file(f"{DATA}/fluA.tree")
+    sch = schedule_ops.schedule_of_topology(tops[0])
+    n, L = sch.node_count, sch.leaf_count
+    pre_n = jnp.asarray(sch.pre_internal_node)
+    pre_p = jnp.asarray(sch.pre_internal_parent)
+    par = jnp.asarray(sch.parent)
+    rng = np.random.default_rng(2)
+    bounds = np.zeros(n)
+    bounds[:L] = rng.uniform(0.0, 0.5, L)
+    for step in range(sch.post_node.shape[0]):
+        v = int(sch.post_node[step])
+        kids = sch.post_children[step]
+        bounds[v] = max(bounds[int(k)] for k in kids if int(k) < n)
+    # Force a CHERRY parent's height onto its bound: its max-date LEAF
+    # child gets a zero-length pendant branch (h_parent - b_leaf = 0) —
+    # the masked-row 0*inf scenario (an internal child sharing the bound
+    # would instead be a genuine log(0) singularity of the Jacobian).
+    ratios = np.clip(rng.uniform(0.2, 0.8, L - 1), 1e-3, 1 - 1e-3)
+    kids_of = {}
+    for step in range(sch.post_node.shape[0]):
+        v = int(sch.post_node[step])
+        kids_of[v] = [int(k) for k in sch.post_children[step] if int(k) < n]
+    cherry = next(
+        v for v, ks in kids_of.items() if all(k < L for k in ks)
+    )
+    ratios[cherry - L] = 0.0
+    bounds = jnp.asarray(bounds)
+    ratios = jnp.asarray(ratios)
+    ratios = ratios.at[-1].set(float(bounds[-1]) + 1.0)
+    rates = jnp.asarray(rng.uniform(0.5, 2.0, n - 1))
+    g = jnp.asarray(rng.normal(size=(n - 1,)))
+    dr, dk, h = H.ratio_and_rate_gradients_from_branch_gradient(
+        g, ratios, bounds, rates, L, pre_n, pre_p, par, 32
+    )
+    assert bool(jnp.all(jnp.isfinite(dr))), np.asarray(dr)
+    assert bool(jnp.all(jnp.isfinite(dk)))

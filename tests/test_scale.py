@@ -1,5 +1,6 @@
 """Scale and instance-level robustness tests."""
 
+import os
 import pytest
 import numpy as np
 
@@ -7,7 +8,9 @@ from libsbn_tpu import RootedInstance, UnrootedInstance
 from libsbn_tpu.core.topology import Topology
 from libsbn_tpu.models.phylo_model import PhyloModelSpec
 
-DATA = "/root/repo/data"
+DATA = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data"
+)
 
 
 def random_unrooted(n, rng):

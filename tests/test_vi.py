@@ -1,6 +1,7 @@
 """VBPI training loop tests (reference: vip/test/test_burrito.py,
 test_scalar_models.py, test_priors.py)."""
 
+import os
 import numpy as np
 import pytest
 
@@ -8,7 +9,9 @@ from libsbn_tpu.models.phylo_model import PhyloModelSpec
 from libsbn_tpu.vi import priors, scalar_models
 from libsbn_tpu.vi.burrito import Burrito
 
-DATA = "/root/repo/data"
+DATA = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data"
+)
 
 
 def test_log_exp_prior():
@@ -361,10 +364,10 @@ def test_jitvbpi_elbo_and_marginal_estimators():
     from libsbn_tpu.vi.jit_step import JitVBPI
 
     inst = UnrootedInstance("elbo-est")
-    inst.read_nexus_file("/root/repo/data/hello_out.t")
+    inst.read_nexus_file(f"{DATA}/hello_out.t")
     inst.process_loaded_trees()
     inst.train_simple_average()
-    inst.read_fasta_file("/root/repo/data/hello.fasta")
+    inst.read_fasta_file(f"{DATA}/hello.fasta")
     inst.prepare_for_phylo_likelihood(
         PhyloModelSpec("JC69", "constant", "strict")
     )
@@ -394,10 +397,10 @@ def test_step_overlapped_pipeline():
 
     def make():
         inst = UnrootedInstance("overlap")
-        inst.read_nexus_file("/root/repo/data/hello_out.t")
+        inst.read_nexus_file(f"{DATA}/hello_out.t")
         inst.process_loaded_trees()
         inst.train_simple_average()
-        inst.read_fasta_file("/root/repo/data/hello.fasta")
+        inst.read_fasta_file(f"{DATA}/hello.fasta")
         inst.prepare_for_phylo_likelihood(
             PhyloModelSpec("JC69", "constant", "strict")
         )

@@ -70,24 +70,9 @@ def main():
         rng.uniform(0.02, 0.2, (R, fs.n_splits)).astype(np.float32)
     ))
 
-    def force(x):
-        return np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[0]
-
-    def timed(run, n_evals, target_s=2.0):
-        force(run())
-        t0 = time.time()
-        force(run())
-        per = time.time() - t0
-        iters = max(4, min(400, int(target_s / max(per, 1e-4))))
-        best = 0.0
-        for _ in range(3):
-            t0 = time.time()
-            out = None
-            for _ in range(iters):
-                out = run()
-            force(out)
-            best = max(best, n_evals * iters / (time.time() - t0))
-        return best
+    # One timing methodology for the whole repo: bench.py's harness
+    # (value-fetch barriers, fixed iteration counts, best-of-windows).
+    from bench import timed_evals_per_sec as timed
 
     fn_full = jax.jit(jax.vmap(
         lambda b: forest.forest_jc_log_likelihoods_and_gradients(

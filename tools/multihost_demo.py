@@ -8,6 +8,7 @@ or manually:
   LIBSBN_PROC=0 python tools/multihost_demo.py & LIBSBN_PROC=1 python tools/multihost_demo.py
 """
 
+_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "data")
 import os
 import sys
 
@@ -41,10 +42,10 @@ from libsbn_tpu.vi.jit_step import JitVBPI
 mesh = distributed.global_mesh(dp=4, sp=1)
 
 inst = UnrootedInstance("mh")
-inst.read_nexus_file("/root/repo/data/hello_out.t")
+inst.read_nexus_file(f"{_DATA_DIR}/hello_out.t")
 inst.process_loaded_trees()
 inst.train_simple_average()
-inst.read_fasta_file("/root/repo/data/hello.fasta")
+inst.read_fasta_file(f"{_DATA_DIR}/hello.fasta")
 inst.prepare_for_phylo_likelihood(PhyloModelSpec("JC69", "constant", "strict"))
 
 jv = JitVBPI(inst, particle_count=8, mesh=mesh, seed=0)

@@ -9,6 +9,8 @@ The reference's noodle times a ladder-tree traversal; we time the same
 ladder construction plus the paths that matter in this architecture.
 """
 
+import os
+_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "data")
 import argparse
 import sys
 import time
@@ -29,7 +31,7 @@ def timeit(label, fn, n=5):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--ladder-leaves", type=int, default=100)
-    parser.add_argument("--data", default="/root/repo/data")
+    parser.add_argument("--data", default=_DATA_DIR)
     args = parser.parse_args()
 
     from libsbn_tpu.core.topology import Topology

@@ -19,6 +19,7 @@ Usage: python tools/tidy_measure.py [--scale TAXA SITES] [--tpu]
 Writes a markdown table to stdout (copied into docs/performance.md).
 """
 
+_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "data")
 import os
 import sys
 import time
@@ -119,7 +120,7 @@ def main():
     dtype = np.float64
 
     rows = []
-    data = "/root/repo/data"
+    data = _DATA_DIR
     rows.append(
         measure("fluA-69taxa", f"{data}/fluA.fa", f"{data}/fluA.tree", dtype)
     )

@@ -31,6 +31,8 @@ Usage: python tools/tpu_parity.py [--record]
 Exit 0 iff every assert passes. One line per check.
 """
 
+import os
+_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "data")
 import sys
 
 import numpy as np
@@ -59,13 +61,13 @@ def flu_fixture():
     from libsbn_tpu.io.fasta import Alignment
     from libsbn_tpu.ops import schedule
 
-    tops, bls, ttm = newick.parse_newick_file("/root/repo/data/fluA.tree")
+    tops, bls, ttm = newick.parse_newick_file(f"{_DATA_DIR}/fluA.tree")
     coll = RootedTreeCollection(
         [RootedTree(t, b) for t, b in zip(tops, bls)], ttm
     )
     coll.parse_dates_from_taxon_names(True)
     sp = SitePattern(
-        Alignment.read_fasta("/root/repo/data/fluA.fa"), ttm
+        Alignment.read_fasta(f"{_DATA_DIR}/fluA.fa"), ttm
     )
     tree = coll.trees[0]
     sched = schedule.batch_schedules(
@@ -169,8 +171,8 @@ def run_gp(jnp):
 
     # hello fixed-branch marginal (gp_doctest.cpp:89-101).
     gp = GPInstance("tpu-parity-hello")
-    gp.read_fasta_file("/root/repo/data/hello.fasta")
-    gp.read_newick_file("/root/repo/data/hello_rooted.nwk")
+    gp.read_fasta_file(f"{_DATA_DIR}/hello.fasta")
+    gp.read_newick_file(f"{_DATA_DIR}/hello_rooted.nwk")
     gp.make_engine(dtype=np.float32)
     eng = gp.get_engine()
     eng.branch_lengths = np.array([0.0, 0.22, 0.113, 0.15, 0.1], np.float32)
@@ -187,8 +189,8 @@ def run_gp(jnp):
     # tests/test_gp.py::test_two_tree_marginal machinery; value recorded
     # 2026-08-20, tol 1e-4, 6 sweeps).
     gp = GPInstance("tpu-parity-five")
-    gp.read_fasta_file("/root/repo/data/five_taxon.fasta")
-    gp.read_newick_file("/root/repo/data/five_taxon_rooted.nwk")
+    gp.read_fasta_file(f"{_DATA_DIR}/five_taxon.fasta")
+    gp.read_newick_file(f"{_DATA_DIR}/five_taxon_rooted.nwk")
     gp.make_engine(dtype=np.float32)
     marg, iters = gp.get_engine().run_branch_ascent(1e-4, 100)
     check(
@@ -205,10 +207,10 @@ def run_vbpi(jnp):
     from libsbn_tpu.vi.jit_step import JitVBPI
 
     inst = UnrootedInstance("tpu-parity-vbpi")
-    inst.read_nexus_file("/root/repo/data/hello_out.t")
+    inst.read_nexus_file(f"{_DATA_DIR}/hello_out.t")
     inst.process_loaded_trees()
     inst.train_simple_average()
-    inst.read_fasta_file("/root/repo/data/hello.fasta")
+    inst.read_fasta_file(f"{_DATA_DIR}/hello.fasta")
     inst.prepare_for_phylo_likelihood(
         PhyloModelSpec("JC69", "constant", "strict")
     )

@@ -8,9 +8,10 @@ or manually:
   LIBSBN_PROC=0 python tools/multihost_demo.py & LIBSBN_PROC=1 python tools/multihost_demo.py
 """
 
-_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "data")
 import os
 import sys
+
+_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "data")
 
 PROC = int(os.environ.get("LIBSBN_PROC", sys.argv[1] if len(sys.argv) > 1 else 0))
 PORT = os.environ.get("LIBSBN_PORT", "12357")

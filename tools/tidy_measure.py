@@ -19,10 +19,11 @@ Usage: python tools/tidy_measure.py [--scale TAXA SITES] [--tpu]
 Writes a markdown table to stdout (copied into docs/performance.md).
 """
 
-_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "data")
 import os
 import sys
 import time
+
+_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "data")
 
 import numpy as np
 

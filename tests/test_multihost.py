@@ -36,7 +36,8 @@ def test_two_process_vbpi():
             subprocess.Popen(
                 [sys.executable, "tools/multihost_demo.py"],
                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-                cwd="/root/repo", env=e, text=True,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                env=e, text=True,
             )
         )
     outs = []

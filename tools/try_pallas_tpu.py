@@ -1,8 +1,9 @@
+import os
 import time, sys
 import numpy as np
 import jax, jax.numpy as jnp
 print("backend:", jax.default_backend(), jax.devices(), flush=True)
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 import __graft_entry__ as ge
 from libsbn_tpu.ops import pruning, substitution, pruning_pallas
 

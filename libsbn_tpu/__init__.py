@@ -56,10 +56,28 @@ __version__ = "0.1.0"
 
 from .instance import RootedInstance, UnrootedInstance  # noqa: E402
 from .instance.rooted import ratio_gradient_of_height_gradient  # noqa: E402
+from .gp.instance import GPInstance  # noqa: E402
+from .models.phylo_model import PhyloModelSpec  # noqa: E402
+
+# Reference-exact module names (pylibsbn.cpp:177,269,383,130): a pylibsbn
+# user's `libsbn.unrooted_instance(...)` / `libsbn.PhyloModelSpecification(
+# substitution=..., site=..., clock=...)` works verbatim against this
+# package (PhyloModelSpec is a dataclass with the same three fields in the
+# same positional order).
+rooted_instance = RootedInstance
+unrooted_instance = UnrootedInstance
+gp_instance = GPInstance
+PhyloModelSpecification = PhyloModelSpec
 
 __all__ = [
     "RootedInstance",
     "UnrootedInstance",
+    "GPInstance",
+    "PhyloModelSpec",
+    "PhyloModelSpecification",
+    "rooted_instance",
+    "unrooted_instance",
+    "gp_instance",
     "ratio_gradient_of_height_gradient",
     "__version__",
 ]

@@ -45,6 +45,13 @@ class Tree:
     def parent_id_vector(self) -> List[int]:
         return self.topology.parent_id_vector()
 
+    @classmethod
+    def of_parent_id_vector(cls, ids: Sequence[int]) -> "Tree":
+        """Unit-branch-length tree from a parent-id vector (tree.cpp:59-62;
+        bound per tree class at pylibsbn.cpp)."""
+        topology = Topology.of_parent_id_vector(list(ids))
+        return cls(topology, np.ones(topology.id + 1))
+
     def __eq__(self, other) -> bool:
         return (
             isinstance(other, Tree)

@@ -96,7 +96,10 @@ class GenericSBNInstance:
     def train_simple_average(self):
         self._check_support()
         reps, counts = self._dense_counter()
-        self.sbn_parameters = np.asarray(
+        # Writable copy: the reference exposes sbn_parameters as a mutable
+        # zero-copy view (pylibsbn.cpp:28-48) that vip's optimizer writes
+        # through; np.asarray of a jax array would be read-only.
+        self.sbn_parameters = np.array(
             sbn_probability.simple_average(
                 reps, counts, self.sbn_support.gpcsp_count
             )

@@ -35,7 +35,8 @@ class UnrootedInstance(GenericSBNInstance):
             score_epsilon=score_epsilon,
             progress=progress,
         )
-        self.sbn_parameters = np.asarray(params)
+        # Writable copy, matching the reference's mutable view semantics.
+        self.sbn_parameters = np.array(params)
         self._sampler = None
         return score_history
 

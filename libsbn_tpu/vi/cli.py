@@ -46,5 +46,17 @@ def main(argv=None):
     return 1
 
 
+# Reference-exact entry-point name (vip/cli.py registers `vip = vip.cli:cli`).
+cli = main
+
+
+def benchmark(data_path, **kwargs):
+    """Programmatic form of the `vip benchmark` command (vip/cli.py:53-94
+    exposes one as a click command); forwards to vi.benchmark.fixed."""
+    from . import benchmark as _benchmark
+
+    return _benchmark.fixed(data_path, **kwargs)
+
+
 if __name__ == "__main__":
     raise SystemExit(main())

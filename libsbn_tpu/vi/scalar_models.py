@@ -337,6 +337,12 @@ class TruncatedLogNormalModel(ADScalarModel):
         self.q_params[:, 2] = -5.0
 
 
+# Reference-exact class name (vip/scalar_model.py:262): the TFP-backed
+# GradientTape models are replaced by exact JAX AD with the same
+# distributions; of_name accepts the reference's "tf_*" choice strings.
+TFScalarModel = ADScalarModel
+
+
 def of_name(name: str, variable_count: int, rng=None) -> ScalarModel:
     choices = {
         "lognormal": LogNormalModel,

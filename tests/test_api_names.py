@@ -122,6 +122,100 @@ def test_gp_surface():
     _assert_has(inst, GP_INSTANCE_NAMES, "gp_instance")
 
 
+# vip module -> public names (extracted from /root/reference/vip/*.py
+# top-level class/def statements, vendored).
+VIP_SURFACE = {
+    "libsbn_tpu.vi.benchmark": ["fixed"],
+    "libsbn_tpu.vi.branch_models": ["BranchModel", "SplitModel", "PSPModel", "of_name"],
+    "libsbn_tpu.vi.burrito": ["Burrito"],
+    "libsbn_tpu.vi.cli": ["cli", "benchmark"],
+    "libsbn_tpu.vi.optimizers": [
+        "BaseOptimizer", "SimpleOptimizer", "BumpStepsizeOptimizer", "of_name"],
+    "libsbn_tpu.vi.priors": ["log_exp_prior", "grad_log_exp_prior"],
+    "libsbn_tpu.vi.sbn_model": ["SBNModel"],
+    "libsbn_tpu.vi.scalar_models": [
+        "ScalarModel", "LogNormalModel", "TFScalarModel", "of_name"],
+    "libsbn_tpu.vi.sgd_server": ["SGD_Server"],
+}
+
+
+def test_vip_surface():
+    import importlib
+
+    for mod_name, names in VIP_SURFACE.items():
+        mod = importlib.import_module(mod_name)
+        _assert_has(mod, names, mod_name)
+    # The scalar-model factory accepts the reference's exact choice strings
+    # (vip/cli.py choices), with AD replacing the TFP GradientTape models.
+    from libsbn_tpu.vi import scalar_models
+
+    for choice in ("lognormal", "tf_lognormal", "tf_gamma",
+                   "tf_truncated_lognormal"):
+        assert scalar_models.of_name(choice, 3) is not None
+
+
+def test_sgd_server_rules():
+    """The six update rules match the reference's formulas
+    (vip/sgd_server.py:42-131), checked by hand-computed first steps."""
+    from libsbn_tpu.vi.sgd_server import SGD_Server
+
+    g = np.array([0.5, -2.0])
+    p = np.array([1.0, 1.0])
+    step = {"x": 0.1}
+    eps = 1e-8
+
+    # adam first step: bias corrections cancel -> step * g/(|g| + eps')
+    srv = SGD_Server({"x": 2})
+    up = srv.adam(step, {"x": p}, {"x": g})["x"]
+    np.testing.assert_allclose(up, 0.1 * g / (np.abs(g) + eps), rtol=1e-6)
+
+    # second adam step agrees with optax scale_by_adam's trajectory
+    import optax
+
+    tx = optax.scale_by_adam(b1=0.9, b2=0.999, eps=eps)
+    state = tx.init({"x": np.zeros(2)})
+    o1, state = tx.update({"x": g}, state)
+    o2, state = tx.update({"x": g}, state)
+    up2 = srv.adam(step, {"x": p}, {"x": g})["x"]
+    np.testing.assert_allclose(up2, 0.1 * np.asarray(o2["x"]), rtol=1e-6)
+
+    # rmsprop/adagrad keep eps inside the sqrt (reference convention)
+    srv = SGD_Server({"x": 2})
+    up = srv.rmsprop(step, {"x": p}, {"x": g})["x"]
+    np.testing.assert_allclose(up, 0.1 * g / np.sqrt(0.1 * g**2 + eps), rtol=1e-12)
+    srv = SGD_Server({"x": 2})
+    up = srv.adagrad(step, {"x": p}, {"x": g})["x"]
+    np.testing.assert_allclose(up, 0.1 * g / np.sqrt(g**2 + eps), rtol=1e-12)
+
+    # sgd returns the momentum buffer; decay shrinks the gradient by L2
+    srv = SGD_Server({"x": 2}, decay=0.01)
+    up = srv.sgd(step, {"x": p}, {"x": g})["x"]
+    np.testing.assert_allclose(up, 0.1 * (g - 0.01 * p), rtol=1e-12)
+
+    # adadelta's first step uses the eps/eps ratio form
+    srv = SGD_Server({"x": 2})
+    up = srv.adadelta(step, {"x": p}, {"x": g})["x"]
+    np.testing.assert_allclose(
+        up, np.sqrt(eps / (0.1 * g**2 + eps)) * g, rtol=1e-10)
+
+    # amsgrad: first step equals adam's with beta_1_ams bias correction
+    srv = SGD_Server({"x": 2})
+    up = srv.amsgrad(step, {"x": p}, {"x": g})["x"]
+    np.testing.assert_allclose(up, 0.1 * g / (np.abs(g) + eps), rtol=1e-6)
+
+
+def test_sbn_model_view(data_dir):
+    from libsbn_tpu.vi.sbn_model import SBNModel
+
+    inst = libsbn_tpu.unrooted_instance("view")
+    inst.read_newick_file(f"{data_dir}/hello.nwk")
+    inst.process_loaded_trees()
+    inst.train_simple_average()
+    model = SBNModel(inst)
+    model.sbn_parameters[0] = 42.0
+    assert inst.sbn_parameters[0] == 42.0  # aliased, like the zero-copy view
+
+
 def test_no_beagle_flags():
     # N/A by design (parity_map §2.3): anyone reaching for beagle_flags
     # should get a clean absence, not a stub that silently does nothing.

@@ -58,6 +58,13 @@ from .instance import RootedInstance, UnrootedInstance  # noqa: E402
 from .instance.rooted import ratio_gradient_of_height_gradient  # noqa: E402
 from .gp.instance import GPInstance  # noqa: E402
 from .models.phylo_model import PhyloModelSpec  # noqa: E402
+from .core.tree import (  # noqa: E402
+    RootedTree,
+    RootedTreeCollection,
+    UnrootedTree,
+    UnrootedTreeCollection,
+)
+from .sbn.support import PSPIndexer  # noqa: E402
 
 # Reference-exact module names (pylibsbn.cpp:177,269,383,130): a pylibsbn
 # user's `libsbn.unrooted_instance(...)` / `libsbn.PhyloModelSpecification(
@@ -78,6 +85,11 @@ __all__ = [
     "rooted_instance",
     "unrooted_instance",
     "gp_instance",
+    "RootedTree",
+    "RootedTreeCollection",
+    "UnrootedTree",
+    "UnrootedTreeCollection",
+    "PSPIndexer",
     "ratio_gradient_of_height_gradient",
     "__version__",
 ]

@@ -212,9 +212,17 @@ class TreeCollection:
 
     tree_class = Tree
 
-    def __init__(self, trees: Sequence[Tree], tag_taxon_map: Dict[Tag, str]):
+    def __init__(self, trees: Sequence[Tree], tag_taxon_map):
         self.trees: List[Tree] = list(trees)
-        self.tag_taxon_map = dict(tag_taxon_map)
+        if isinstance(tag_taxon_map, dict):
+            self.tag_taxon_map = dict(tag_taxon_map)
+        else:
+            # The reference's collection constructors also accept a plain
+            # taxon-name list (test/test_libsbn.py:27-30); leaf i gets
+            # tag (i, 1).
+            self.tag_taxon_map = {
+                (i, 1): name for i, name in enumerate(tag_taxon_map)
+            }
 
     def tree_count(self) -> int:
         return len(self.trees)

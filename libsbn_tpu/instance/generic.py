@@ -218,11 +218,16 @@ class GenericSBNInstance:
 
     # -- phylogenetic likelihood ---------------------------------------------
     def prepare_for_phylo_likelihood(
-        self, spec: PhyloModelSpec, thread_count: int = 1, rescaling: bool = True,
-        tree_count_option: Optional[int] = None,
+        self, spec: PhyloModelSpec, thread_count: int = 1, beagle_flags=(),
+        use_tip_states: bool = False, tree_count_option: Optional[int] = None,
+        rescaling: bool = True,
     ):
-        """Create the likelihood engine. thread_count is accepted for API
-        parity but ignored: batching replaces the executor pool (§2.9)."""
+        """Create the likelihood engine. Argument order matches the reference
+        binding (pylibsbn.cpp:196-199). thread_count and beagle_flags are
+        accepted for API parity but ignored: batching replaces the executor
+        pool and there is no BEAGLE (§2.9). use_tip_states selects the
+        1-byte resident tip-code mode (bit-identical results; the default
+        here is tip partials, the TPU-measured production layout)."""
         self._check_trees_loaded()
         if self.alignment is None:
             raise RuntimeError("Please read a FASTA file first.")
@@ -231,7 +236,10 @@ class GenericSBNInstance:
         )
         self.phylo_model_spec = spec
         self.phylo_model_params = default_parameters(spec)
-        self.engine = LikelihoodEngine(site_pattern, spec, rescale=rescaling)
+        self.engine = LikelihoodEngine(
+            site_pattern, spec, rescale=rescaling,
+            use_tip_states=use_tip_states,
+        )
         # The parameter matrix is created lazily (get_phylo_model_params /
         # resize_phylo_model_params): direct pytree users never pay for it.
         self.phylo_model_params_matrix = None

@@ -216,6 +216,32 @@ def test_sbn_model_view(data_dir):
     assert inst.sbn_parameters[0] == 42.0  # aliased, like the zero-copy view
 
 
+def test_charlie_demo(data_dir):
+    """The reference's hello demo (test/test_libsbn.py:26-43) runs verbatim
+    minus the beagle_flags argument: module-level tree classes, collection
+    from a taxon-name list, in-place branch-length writes seen by the
+    engine."""
+    inst = libsbn_tpu.unrooted_instance("charlie")
+    inst.tree_collection = libsbn_tpu.UnrootedTreeCollection(
+        [libsbn_tpu.UnrootedTree.of_parent_id_vector([3, 3, 3])],
+        ["mars", "saturn", "jupiter"],
+    )
+    inst.read_fasta_file(f"{data_dir}/hello.fasta")
+    inst.prepare_for_phylo_likelihood(
+        libsbn_tpu.PhyloModelSpecification(
+            substitution="JC69", site="constant", clock="strict"), 2)
+    branch_lengths = np.array(
+        inst.tree_collection.trees[0].branch_lengths, copy=False)
+    branch_lengths[:] = np.array([0.15, 0.1, 0.333, 0.24])
+    ll_a = float(inst.log_likelihoods()[0])
+    branch_lengths[0] = 0.2
+    ll_b = float(inst.log_likelihoods()[0])
+    assert np.isfinite(ll_a) and np.isfinite(ll_b) and ll_a != ll_b
+    # The newick export reflects the in-place write, like the reference's
+    # zero-copy view.
+    assert "0.2" in inst.tree_collection.newick()
+
+
 def test_no_beagle_flags():
     # N/A by design (parity_map §2.3): anyone reaching for beagle_flags
     # should get a clean absence, not a stub that silently does nothing.

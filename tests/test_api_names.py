@@ -240,6 +240,13 @@ def test_charlie_demo(data_dir):
     # The newick export reflects the in-place write, like the reference's
     # zero-copy view.
     assert "0.2" in inst.tree_collection.newick()
+    # use_tip_states=True (the reference's default) is forwarded to the
+    # engine and is bit-identical (fat_beagle.cpp:207-256 tip-states mode).
+    inst.prepare_for_phylo_likelihood(
+        libsbn_tpu.PhyloModelSpecification(
+            substitution="JC69", site="constant", clock="strict"),
+        2, [], True)
+    assert float(inst.log_likelihoods()[0]) == ll_b
 
 
 def test_no_beagle_flags():

@@ -42,6 +42,16 @@ class RootedInstance(GenericSBNInstance):
     # -- time-tree state matrices -------------------------------------------
     def _time_tree_arrays(self):
         trees = self.tree_collection.trees
+        if any(t.node_bounds is None or t.rates is None for t in trees):
+            # Reference precondition (rooted_tree.hpp:55-63
+            # EnsureTipDatesHaveBeenSet): fail with guidance, not a
+            # TypeError from the stacking below.
+            raise RuntimeError(
+                "Attempted access of a time tree member that requires the "
+                "tip dates to be set. Have you set dates for your time "
+                "trees? (parse_dates_from_taxon_names / parse_dates_from_csv"
+                " / set_dates_to_be_constant)"
+            )
         bounds = np.stack([t.node_bounds for t in trees])
         ratios = np.stack([t.height_ratios for t in trees])
         rates = np.stack([t.rates[: t.node_count() - 1] for t in trees])

@@ -214,7 +214,7 @@ class TreeCollection:
 
     def __init__(self, trees: Sequence[Tree], tag_taxon_map):
         self.trees: List[Tree] = list(trees)
-        if isinstance(tag_taxon_map, dict):
+        if hasattr(tag_taxon_map, "items"):  # any Mapping, not just dict
             self.tag_taxon_map = dict(tag_taxon_map)
         else:
             # The reference's collection constructors also accept a plain

@@ -42,7 +42,10 @@ class RootedInstance(GenericSBNInstance):
     # -- time-tree state matrices -------------------------------------------
     def _time_tree_arrays(self):
         trees = self.tree_collection.trees
-        if any(t.node_bounds is None or t.rates is None for t in trees):
+        if any(
+            t.node_bounds is None or t.rates is None or t.height_ratios is None
+            for t in trees
+        ):
             # Reference precondition (rooted_tree.hpp:55-63
             # EnsureTipDatesHaveBeenSet): fail with guidance, not a
             # TypeError from the stacking below.

@@ -52,9 +52,15 @@ cli = main
 
 def benchmark(data_path, **kwargs):
     """Programmatic form of the `vip benchmark` command (vip/cli.py:53-94
-    exposes one as a click command); forwards to vi.benchmark.fixed."""
+    exposes one as a click command); forwards to vi.benchmark.fixed with
+    the reference command's option defaults."""
     from . import benchmark as _benchmark
 
+    kwargs.setdefault("branch_model_name", "split")
+    kwargs.setdefault("scalar_model_name", "lognormal")
+    kwargs.setdefault("optimizer_name", "simple")
+    kwargs.setdefault("step_count", 5)
+    kwargs.setdefault("particle_count", 10)
     return _benchmark.fixed(data_path, **kwargs)
 
 

@@ -12,6 +12,11 @@ rmsprop/adagrad/adadelta place eps inside the square root
 
 Every method returns the UPDATE dict (to be added to the parameters by the
 caller), exactly as the reference does.
+
+Deliberate deviation: the reference's constructor ignores its ``gamma``
+argument and hardcodes 0.9 (vip/sgd_server.py:33 reassigns
+``self.gamma = 0.9``); here the argument is honored. Default calls are
+identical.
 """
 
 from typing import Dict

@@ -214,6 +214,12 @@ def test_sbn_model_view(data_dir):
     model = SBNModel(inst)
     model.sbn_parameters[0] = 42.0
     assert inst.sbn_parameters[0] == 42.0  # aliased, like the zero-copy view
+    # The alias survives retraining (the instance REASSIGNS its array; the
+    # reference's C++ vector is mutated in place — the model proxies so the
+    # contract holds either way).
+    inst.train_simple_average()
+    model.sbn_parameters[0] = 7.0
+    assert inst.sbn_parameters[0] == 7.0
 
 
 def test_charlie_demo(data_dir):
@@ -239,7 +245,9 @@ def test_charlie_demo(data_dir):
     assert np.isfinite(ll_a) and np.isfinite(ll_b) and ll_a != ll_b
     # The newick export reflects the in-place write, like the reference's
     # zero-copy view.
-    assert "0.2" in inst.tree_collection.newick()
+    # ":0.2," can only come from the edited first branch (the only other
+    # 0.2-prefixed length, 0.24, precedes the final ";").
+    assert ":0.2," in inst.tree_collection.newick()
     # use_tip_states=True (the reference's default) is forwarded to the
     # engine and is bit-identical (fat_beagle.cpp:207-256 tip-states mode).
     inst.prepare_for_phylo_likelihood(

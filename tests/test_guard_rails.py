@@ -63,6 +63,21 @@ def test_rooted_requires_tip_dates(data_dir):
         inst.phylo_gradients()
 
 
+def test_rooted_dates_without_time_tree_init(data_dir):
+    # initialize_time_trees=False sets bounds/rates but not height ratios
+    # (rooted_sbn_instance.hpp:48); likelihood access must still raise the
+    # guidance message, not an internal IndexError.
+    inst = libsbn.rooted_instance("guard")
+    inst.read_newick_file(f"{data_dir}/fluA.tree")
+    inst.read_fasta_file(f"{data_dir}/fluA.fa")
+    inst.parse_dates_from_taxon_names(False)
+    inst.process_loaded_trees()
+    inst.prepare_for_phylo_likelihood(PhyloModelSpec("JC69", "constant", "strict"))
+    if any(t.height_ratios is None for t in inst.tree_collection.trees):
+        with pytest.raises(RuntimeError, match="tip dates"):
+            inst.log_likelihoods()
+
+
 def test_empty_newick_gives_empty_collection(data_dir, tmp_path):
     # An empty tree file yields an empty collection (matching the
     # reference's line-by-line driver), and the guard rail fires at

@@ -78,6 +78,19 @@ def test_rooted_dates_without_time_tree_init(data_dir):
             inst.log_likelihoods()
 
 
+def test_guard_rails_gp():
+    # GPInstance preconditions (gp_instance.cpp:68-83 engine/data checks);
+    # print_status works on an empty instance like the reference's.
+    gi = libsbn.gp_instance("x.dat")
+    with pytest.raises(RuntimeError, match="fasta and newick"):
+        gi.make_engine()
+    with pytest.raises(RuntimeError, match="make_engine"):
+        gi.estimate_branch_lengths(1e-2, 5)
+    with pytest.raises(RuntimeError, match="hot_start"):
+        gi.hot_start_branch_lengths()
+    gi.print_status()
+
+
 def test_empty_newick_gives_empty_collection(data_dir, tmp_path):
     # An empty tree file yields an empty collection (matching the
     # reference's line-by-line driver), and the guard rail fires at
